@@ -1,0 +1,78 @@
+"""Central configuration dataclasses.
+
+The reference scatters its knobs across per-script argparse blocks and
+hard-coded literals (reference image_demo.py:10-17, benchmark.py:9-13,
+webcam_demo.py:8-14, train.py:44-52,981-993, decode_multi.py:62-63).
+Here every entry point shares one typed config, while CLI flag names and
+defaults stay identical to the reference for drop-in parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Backbone + heads configuration (reference mobilenet_v1.py:130-154)."""
+
+    model_id: int = 101            # one of {50, 75, 100, 101}
+    output_stride: int = 16        # one of {8, 16, 32}
+    # Compute dtype for conv activations. float32 reproduces the reference
+    # bit-for-bit (parity/tests); bfloat16 doubles MXU throughput on TPU and
+    # is the production default for inference.
+    compute_dtype: jnp.dtype = jnp.float32
+    # Conv accumulation/output dtype; kept float32 in both modes so heatmap
+    # sigmoid and offset regression stay well-conditioned.
+    param_dtype: jnp.dtype = jnp.float32
+
+    def __post_init__(self):
+        if self.model_id not in (50, 75, 100, 101):
+            raise ValueError(f"model_id must be in {{50,75,100,101}}, got {self.model_id}")
+        if self.output_stride not in (8, 16, 32):
+            raise ValueError(f"output_stride must be in {{8,16,32}}, got {self.output_stride}")
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    """Multi-pose decoder knobs (reference decode_multi.py:61-63).
+
+    All defaults match the reference signature. `max_candidates` is new: the
+    reference iterates an unbounded, data-dependent candidate list; XLA needs
+    a static bound, so we take the top-K score-ranked local maxima. K=192 is
+    far above any observed candidate count for real images at the reference's
+    0.5 score threshold.
+    """
+
+    max_pose_detections: int = 10
+    score_threshold: float = 0.5
+    nms_radius: int = 20
+    min_pose_score: float = 0.5
+    max_candidates: int = 192
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Fine-tuning hyperparameters (reference train.py:981-1009)."""
+
+    model_id: int = 101
+    output_stride: int = 16
+    batch_size: int = 2
+    learning_rate: float = 1e-4
+    num_epochs: int = 100
+    heatmap_loss_weight: float = 4.0   # reference train.py:74 (4:1 combination)
+    offset_loss_weight: float = 1.0
+    early_stop_patience: int = 10      # reference train.py:583-585
+    heads_only: bool = True            # reference freezes the backbone (train.py:620-634)
+    checkpoint_dir: str = "./_train_ckpt"
+    keypoint_dir: str = "./keypoints_updated"  # reference train.py:1018
+    # Data parallelism: number of devices in the ('data',) mesh. None = all.
+    num_devices: Optional[int] = None
+    seed: int = 0
+
+
+# Default on-disk model directory (reference model_factory.py:7).
+MODEL_DIR = "./_models"

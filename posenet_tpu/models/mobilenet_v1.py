@@ -1,0 +1,287 @@
+"""MobileNetV1 backbone + PoseNet heads, TPU-native.
+
+Functionally equivalent to the reference PyTorch model
+(/root/reference/posenet/models/mobilenet_v1.py:130-162): a 14-layer
+depthwise-separable CNN with ReLU6, depth multipliers 50/75/100/101,
+output-stride control via stride->dilation rewriting, and four 1x1 conv
+heads (17-ch sigmoid heatmap, 34-ch offsets, 2x32-ch displacements).
+
+TPU-first design decisions (deliberately NOT a translation):
+
+- **NHWC / HWIO everywhere.** XLA:TPU's native conv layout; also the layout
+  the tfjs checkpoints ship in, so weight conversion is transpose-free for
+  regular convs (the reference round-trips through OIHW,
+  tfjs2pytorch.py:67-69).
+- **Pure functions over pytrees.** `init_params` builds the parameter pytree;
+  `forward(params, x)` is a jit-/vmap-/pjit-compatible pure function. No
+  module objects in the compute path.
+- **`lax.conv_general_dilated` with `feature_group_count`** for depthwise
+  convs — one XLA op per layer; XLA fuses bias+ReLU6 into the conv epilogue.
+- **Configurable compute dtype.** float32 (+HIGHEST precision) for bitwise
+  parity with the reference; bfloat16 for MXU-rate inference.
+
+Padding matches torch's symmetric integer padding
+p = ((stride-1) + dilation*(k-1)) // 2 (reference mobilenet_v1.py:42-44),
+so outputs agree element-for-element with the reference at every stride.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from posenet_tpu.config import ModelConfig
+
+# Checkpoint names per depth multiplier (reference mobilenet_v1.py:71-76).
+MOBILENET_V1_CHECKPOINTS = {
+    50: 'mobilenet_v1_050',
+    75: 'mobilenet_v1_075',
+    100: 'mobilenet_v1_100',
+    101: 'mobilenet_v1_101',
+}
+
+# Architecture tables: (conv_type, in_ch, out_ch, stride) per layer.
+# conv_type 'input' = full 3x3 conv, 'sep' = depthwise 3x3 + pointwise 1x1.
+# (reference mobilenet_v1.py:78-127; model 100 and 101 share the table and
+# differ only in checkpoint weights, mobilenet_v1.py:137-142)
+_ARCH_100 = [
+    ('input', 3, 32, 2),
+    ('sep', 32, 64, 1),
+    ('sep', 64, 128, 2),
+    ('sep', 128, 128, 1),
+    ('sep', 128, 256, 2),
+    ('sep', 256, 256, 1),
+    ('sep', 256, 512, 2),
+    ('sep', 512, 512, 1),
+    ('sep', 512, 512, 1),
+    ('sep', 512, 512, 1),
+    ('sep', 512, 512, 1),
+    ('sep', 512, 512, 1),
+    ('sep', 512, 1024, 2),
+    ('sep', 1024, 1024, 1),
+]
+
+_ARCH_75 = [
+    ('input', 3, 24, 2),
+    ('sep', 24, 48, 1),
+    ('sep', 48, 96, 2),
+    ('sep', 96, 96, 1),
+    ('sep', 96, 192, 2),
+    ('sep', 192, 192, 1),
+    ('sep', 192, 384, 2),
+    ('sep', 384, 384, 1),
+    ('sep', 384, 384, 1),
+    ('sep', 384, 384, 1),
+    ('sep', 384, 384, 1),
+    ('sep', 384, 384, 1),
+    ('sep', 384, 384, 1),
+    ('sep', 384, 384, 1),
+]
+
+_ARCH_50 = [
+    ('input', 3, 16, 2),
+    ('sep', 16, 32, 1),
+    ('sep', 32, 64, 2),
+    ('sep', 64, 64, 1),
+    ('sep', 64, 128, 2),
+    ('sep', 128, 128, 1),
+    ('sep', 128, 256, 2),
+    ('sep', 256, 256, 1),
+    ('sep', 256, 256, 1),
+    ('sep', 256, 256, 1),
+    ('sep', 256, 256, 1),
+    ('sep', 256, 256, 1),
+    ('sep', 256, 256, 1),
+    ('sep', 256, 256, 1),
+]
+
+ARCHS = {50: _ARCH_50, 75: _ARCH_75, 100: _ARCH_100, 101: _ARCH_100}
+
+# Head name -> output channels (reference mobilenet_v1.py:151-154).
+HEAD_CHANNELS = {
+    'heatmap': 17,
+    'offset': 34,
+    'displacement_fwd': 32,
+    'displacement_bwd': 32,
+}
+
+
+def stride_plan(model_id: int, output_stride: int) -> List[Dict[str, Any]]:
+    """Rewrite nominal layer strides so the net's cumulative stride equals
+    `output_stride`, converting later strides into growing dilation rates.
+
+    Same semantics as the reference planner (mobilenet_v1.py:8-39): while the
+    cumulative stride is below the target, layers keep their nominal stride;
+    once it is reached, every further nominally-strided layer runs at stride 1
+    and the dilation rate multiplies up instead.
+    """
+    current_stride = 1
+    rate = 1
+    plan = []
+    for block_id, (conv_type, inp, outp, stride) in enumerate(ARCHS[model_id]):
+        if current_stride == output_stride:
+            layer_stride = 1
+            layer_rate = rate
+            rate *= stride
+        else:
+            layer_stride = stride
+            layer_rate = 1
+            current_stride *= stride
+        plan.append(dict(
+            block_id=block_id, conv_type=conv_type, inp=inp, outp=outp,
+            stride=layer_stride, rate=layer_rate, cumulative_stride=current_stride,
+        ))
+    return plan
+
+
+def torch_same_padding(kernel_size: int, stride: int, dilation: int) -> int:
+    """Symmetric padding identical to the reference (mobilenet_v1.py:42-44)."""
+    return ((stride - 1) + dilation * (kernel_size - 1)) // 2
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+def _conv_init(key, kshape, fan_in, dtype):
+    """Kaiming-uniform matching torch nn.Conv2d default init (bound = 1/sqrt(fan_in))."""
+    kw, kb = jax.random.split(key)
+    # torch kaiming_uniform(a=sqrt(5)) => bound = sqrt(6/((1+5)*fan_in)) = 1/sqrt(fan_in)
+    bound = 1.0 / np.sqrt(fan_in)
+    w = jax.random.uniform(kw, kshape, dtype, -bound, bound)
+    b = jax.random.uniform(kb, (kshape[-1],), dtype, -bound, bound)
+    return w, b
+
+
+def init_params(key: jax.Array, cfg: ModelConfig) -> Dict[str, Any]:
+    """Build the parameter pytree.
+
+    Layout (all kernels HWIO):
+      params['backbone'][i]:
+        input layer:  {'w': (3,3,3,C), 'b': (C,)}
+        sep layer:    {'dw_w': (3,3,1,C), 'dw_b': (C,), 'pw_w': (1,1,C,C2), 'pw_b': (C2,)}
+      params['heads'][name]: {'w': (1,1,C_last,K), 'b': (K,)}
+    """
+    plan = stride_plan(cfg.model_id, cfg.output_stride)
+    dtype = cfg.param_dtype
+    layers = []
+    for layer in plan:
+        key, sub = jax.random.split(key)
+        if layer['conv_type'] == 'input':
+            w, b = _conv_init(sub, (3, 3, layer['inp'], layer['outp']),
+                              fan_in=3 * 3 * layer['inp'], dtype=dtype)
+            layers.append({'w': w, 'b': b})
+        else:
+            k1, k2 = jax.random.split(sub)
+            dw_w, dw_b = _conv_init(k1, (3, 3, 1, layer['inp']),
+                                    fan_in=3 * 3 * 1, dtype=dtype)
+            pw_w, pw_b = _conv_init(k2, (1, 1, layer['inp'], layer['outp']),
+                                    fan_in=layer['inp'], dtype=dtype)
+            layers.append({'dw_w': dw_w, 'dw_b': dw_b, 'pw_w': pw_w, 'pw_b': pw_b})
+    last_depth = plan[-1]['outp']
+    heads = {}
+    for name, ch in HEAD_CHANNELS.items():
+        key, sub = jax.random.split(key)
+        w, b = _conv_init(sub, (1, 1, last_depth, ch), fan_in=last_depth, dtype=dtype)
+        heads[name] = {'w': w, 'b': b}
+    return {'backbone': layers, 'heads': heads}
+
+
+# ---------------------------------------------------------------------------
+# Forward pass
+# ---------------------------------------------------------------------------
+
+_DN = ('NHWC', 'HWIO', 'NHWC')
+
+
+def _conv2d(x, w, b, *, stride=1, dilation=1, groups=1, precision):
+    k = w.shape[0]
+    pad = torch_same_padding(k, stride, dilation)
+    y = lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=_DN,
+        feature_group_count=groups,
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    return y + b.astype(y.dtype)
+
+
+def _relu6(x):
+    return jnp.clip(x, 0.0, 6.0)
+
+
+def forward(params: Dict[str, Any], x: jax.Array, cfg: ModelConfig,
+            precision=None) -> Dict[str, jax.Array]:
+    """Run backbone + heads.
+
+    Args:
+      params: pytree from `init_params` / the tfjs converter.
+      x: (B, H, W, 3) float input in [-1, 1], H = W' = stride*n + 1.
+      cfg: static model config (baked into the jit cache key).
+      precision: lax precision for parity runs (None = fast TPU default).
+
+    Returns:
+      dict with NHWC heads: heatmap (B,R,R',17) after sigmoid, offset
+      (B,R,R',34), displacement_fwd / displacement_bwd (B,R,R',32), where
+      R = (H-1)/output_stride + 1 (reference mobilenet_v1.py:156-162).
+    """
+    plan = stride_plan(cfg.model_id, cfg.output_stride)
+    x = x.astype(cfg.compute_dtype)
+    for layer, p in zip(plan, params['backbone']):
+        if layer['conv_type'] == 'input':
+            x = _relu6(_conv2d(x, p['w'], p['b'], stride=layer['stride'],
+                               dilation=layer['rate'], precision=precision))
+        else:
+            c_in = p['dw_w'].shape[-1]
+            x = _relu6(_conv2d(x, p['dw_w'], p['dw_b'], stride=layer['stride'],
+                               dilation=layer['rate'], groups=c_in,
+                               precision=precision))
+            x = _relu6(_conv2d(x, p['pw_w'], p['pw_b'], precision=precision))
+        x = x.astype(cfg.compute_dtype)
+
+    hp = params['heads']
+    heatmap = jax.nn.sigmoid(
+        _conv2d(x, hp['heatmap']['w'], hp['heatmap']['b'], precision=precision))
+    offset = _conv2d(x, hp['offset']['w'], hp['offset']['b'], precision=precision)
+    disp_fwd = _conv2d(x, hp['displacement_fwd']['w'], hp['displacement_fwd']['b'],
+                       precision=precision)
+    disp_bwd = _conv2d(x, hp['displacement_bwd']['w'], hp['displacement_bwd']['b'],
+                       precision=precision)
+    return {
+        'heatmap': heatmap.astype(jnp.float32),
+        'offset': offset.astype(jnp.float32),
+        'displacement_fwd': disp_fwd.astype(jnp.float32),
+        'displacement_bwd': disp_bwd.astype(jnp.float32),
+    }
+
+
+def backbone_features(params, x, cfg: ModelConfig, precision=None):
+    """Backbone trunk only (pre-head features), for debugging/feature taps."""
+    plan = stride_plan(cfg.model_id, cfg.output_stride)
+    x = x.astype(cfg.compute_dtype)
+    for layer, p in zip(plan, params['backbone']):
+        if layer['conv_type'] == 'input':
+            x = _relu6(_conv2d(x, p['w'], p['b'], stride=layer['stride'],
+                               dilation=layer['rate'], precision=precision))
+        else:
+            c_in = p['dw_w'].shape[-1]
+            x = _relu6(_conv2d(x, p['dw_w'], p['dw_b'], stride=layer['stride'],
+                               dilation=layer['rate'], groups=c_in,
+                               precision=precision))
+            x = _relu6(_conv2d(x, p['pw_w'], p['pw_b'], precision=precision))
+        x = x.astype(cfg.compute_dtype)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'precision'))
+def forward_jit(params, x, cfg: ModelConfig, precision=None):
+    return forward(params, x, cfg, precision=precision)
