@@ -1,0 +1,69 @@
+"""Driver benchmark: img/s/chip at 513x513 (MobileNetV1-101, stride 16) with
+full on-device multi-pose decode — the BASELINE.json headline metric.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against the reference's only published number, the
+README's "200-300 fps" forward-only GPU claim (BASELINE.md) — we use its
+midpoint, 250 img/s, noting our number additionally includes the decode the
+reference runs on the host.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from posenet_tpu.config import DecodeConfig, ModelConfig
+    from posenet_tpu.models import mobilenet_v1
+    from posenet_tpu.pipeline import infer_jit
+
+    batch = 32
+    size = 513
+    cfg = ModelConfig(model_id=101, output_stride=16,
+                      compute_dtype=jnp.bfloat16)
+    decode_cfg = DecodeConfig(min_pose_score=0.25)
+    params = mobilenet_v1.init_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(
+        rng.randint(0, 255, size=(batch, size, size, 3), dtype=np.uint8))
+
+    # Warm up / compile.
+    out = infer_jit(params, frames, cfg, decode_cfg)
+    jax.block_until_ready(out)
+
+    # Measure steady state.
+    n_iters = 20
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        out = infer_jit(params, frames, cfg, decode_cfg)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    imgs_per_s = n_iters * batch / elapsed
+
+    # p50 decode-inclusive per-batch latency for reporting.
+    lat = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        jax.block_until_ready(infer_jit(params, frames, cfg, decode_cfg))
+        lat.append((time.perf_counter() - t0) * 1000)
+    p50_ms = float(np.percentile(lat, 50))
+
+    baseline = 250.0  # reference README.md:12 midpoint (forward-only, GPU)
+    print(json.dumps({
+        "metric": "img/s/chip 513x513 m101 s16 fused forward+decode (batch=32, bf16)",
+        "value": round(imgs_per_s, 1),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_s / baseline, 2),
+        "extra": {"p50_batch_ms": round(p50_ms, 2), "batch": batch},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Benchmark CLI: forward + multi-pose decode throughput.
+
+Workload parity with the reference harness (/root/reference/benchmark.py:16-46):
+pre-load all images into RAM, loop --num_images forward+decode passes, print
+average FPS. Two modes:
+
+- default: per-frame latency mode, mirroring the reference's one-image-at-a-
+  time loop (but with decode fused on device).
+- --batch_size N: throughput mode — frames are decoded in device-resident
+  batches via the fused PoseNetPipeline (no reference equivalent; this is
+  the BASELINE.json config-2 workload).
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+import posenet_tpu as posenet
+from posenet_tpu.pipeline import PoseNetPipeline
+from posenet_tpu.config import DecodeConfig
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--model', type=int, default=101)
+    parser.add_argument('--image_dir', type=str, default='./images')
+    parser.add_argument('--num_images', type=int, default=1000)
+    parser.add_argument('--output_stride', type=int, default=16)
+    parser.add_argument('--batch_size', type=int, default=0,
+                        help='0 = reference-style per-frame loop; N>0 = '
+                             'batched fused pipeline')
+    parser.add_argument('--image_size', type=int, default=513)
+    parser.add_argument('--allow_random_init', action='store_true')
+    return parser.parse_args()
+
+
+def load_images(args, output_stride):
+    import os
+
+    filenames = [
+        f.path for f in os.scandir(args.image_dir)
+        if f.is_file() and f.path.endswith(('.png', '.jpg'))]
+    if len(filenames) > args.num_images:
+        filenames = filenames[:args.num_images]
+    return filenames, {
+        f: posenet.read_imgfile(f, 1.0, output_stride)[0] for f in filenames}
+
+
+def main():
+    import jax
+
+    args = parse_args()
+    model = posenet.load_model(args.model, output_stride=args.output_stride,
+                               allow_random_init=args.allow_random_init)
+    output_stride = model.output_stride
+    num_images = args.num_images
+
+    filenames, images = load_images(args, output_stride)
+    if not filenames:
+        raise SystemExit(f'no images found in {args.image_dir}')
+
+    if args.batch_size > 0:
+        # Throughput mode: uint8 RGB frames at valid resolution, fused
+        # normalize->forward->decode on device.
+        size = images[filenames[0]].shape[-1]
+        frames = np.stack([
+            ((images[filenames[i % len(filenames)]][0].transpose(1, 2, 0)
+              + 1.0) * (255.0 / 2.0)).astype(np.uint8)
+            for i in range(args.batch_size)])
+        pipe = PoseNetPipeline(model, DecodeConfig(min_pose_score=0.25))
+        pipe.warmup((size, size), args.batch_size)
+        n_batches = max(1, num_images // args.batch_size)
+        start = time.time()
+        for _ in range(n_batches):
+            out = pipe(frames)
+        jax.block_until_ready(out)
+        elapsed = time.time() - start
+        n = n_batches * args.batch_size
+        print('Average FPS:', n / elapsed)
+        return
+
+    # Reference-style per-frame loop.
+    start = time.time()
+    for i in range(num_images):
+        input_image = images[filenames[i % len(filenames)]]
+        heatmaps, offsets, displacement_fwd, displacement_bwd = model(input_image)
+        output = posenet.decode_multiple_poses(
+            heatmaps.squeeze(0), offsets.squeeze(0),
+            displacement_fwd.squeeze(0), displacement_bwd.squeeze(0),
+            output_stride=output_stride,
+            max_pose_detections=10,
+            min_pose_score=0.25)
+    print('Average FPS:', num_images / (time.time() - start))
+
+
+if __name__ == "__main__":
+    main()

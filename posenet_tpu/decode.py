@@ -1,0 +1,272 @@
+"""On-device multi-pose decoder (PersonLab-style greedy bottom-up decoding).
+
+Behavioral spec: reference decode pipeline
+(/root/reference/posenet/decode_multi.py:61-148 and
+/root/reference/posenet/decode.py:9-63,131-182) — sigmoid heatmap local-max
+NMS, score-ranked part candidates, greedy skeleton growth along the 16-edge
+kinematic tree with offset refinement, root NMS dedup against accepted poses,
+and overlap-discounted instance scoring.
+
+TPU-first redesign (NOT a loop translation):
+
+- The reference decodes candidates **sequentially** — each candidate's full
+  17-keypoint tree walk runs inside the greedy accept loop on the host
+  (decode_multi.py:104-139), forcing a device->host sync per frame.
+  Key observation: the tree walk for a candidate depends ONLY on the head
+  tensors, not on which poses were accepted before it. So here **all K
+  candidate poses are decoded in parallel** (vmap over the candidate axis —
+  each of the 32 sequential edge steps becomes one K-wide vectorized
+  gather+select), and only the cheap accept/reject scan stays sequential,
+  as a `lax.fori_loop` over K with fixed-size pose buffers.
+- Everything is static-shape: the reference's `nonzero` candidate list
+  becomes top-K with a validity sentinel (SURVEY.md §7 "dynamic -> static").
+- The whole decoder jit-compiles into the same executable as the backbone
+  (see PoseNetPipeline), so a frame never leaves the device until final
+  (P,17,2) coordinates.
+- `jax.vmap(decode_single)` over the batch axis gives batched decode — a
+  capability the reference lacks entirely (it decodes one image per call).
+
+Numerics notes: computations run in float32 (the reference does float64
+numpy on host); `jnp.round` and `np.round` both round half-to-even, and
+`clip(round(x/stride))` agrees between the two for all realistic coordinate
+magnitudes, so decoded coordinates match the reference to <1e-3 px (golden
+tests in tests/test_decode.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from posenet_tpu.config import DecodeConfig
+from posenet_tpu.constants import EDGES, LOCAL_MAXIMUM_RADIUS, NUM_EDGES, NUM_KEYPOINTS
+from posenet_tpu.ops.nms import local_max_mask, top_k_candidates
+
+
+class DecodedPoses(NamedTuple):
+    """Fixed-size decode result; unfilled slots are zero (reference
+    decode_multi.py:94-100 zero-initializes the same buffers)."""
+
+    pose_scores: jax.Array       # (P,)
+    keypoint_scores: jax.Array   # (P, 17)
+    keypoint_coords: jax.Array   # (P, 17, 2)  y,x image px at input resolution
+    pose_offsets: jax.Array      # (P, 17, 2)  per-keypoint refinement offsets
+
+
+def split_yx(packed: jax.Array, n: int) -> jax.Array:
+    """(H, W, 2n) channel-packed field -> (H, W, n, 2) with y-component first.
+
+    The reference packs offset/displacement channels as [all-y || all-x]
+    (decode_multi.py:89-97: `reshape(2, -1, H, W).transpose(1, 2, 3, 0)`).
+    In NHWC that's simply the first n vs last n channels.
+    """
+    return jnp.stack([packed[..., :n], packed[..., n:2 * n]], axis=-1)
+
+
+def _traverse(coord, scores_map, offsets_yx, disp_map, edge_id, target_kp,
+              stride, h, w):
+    """One edge hop: displace from `coord` along `disp_map[edge_id]`, then
+    refine at the landing cell (reference decode.py:9-63)."""
+    hw_max = jnp.array([h - 1, w - 1], jnp.float32)
+    src_idx = jnp.clip(jnp.round(coord / stride), 0.0, hw_max).astype(jnp.int32)
+    disp = disp_map[src_idx[0], src_idx[1], edge_id]
+    displaced = coord + disp
+    tgt_idx = jnp.clip(jnp.round(displaced / stride), 0.0, hw_max).astype(jnp.int32)
+    score = scores_map[tgt_idx[0], tgt_idx[1], target_kp]
+    offset = offsets_yx[tgt_idx[0], tgt_idx[1], target_kp]
+    image_coord = tgt_idx.astype(jnp.float32) * stride + offset
+    return score, image_coord, offset
+
+
+def decode_pose(root_score, root_id, root_image_coord, scores_map, offsets_yx,
+                dfwd_yx, dbwd_yx, output_stride: int):
+    """Grow a full 17-keypoint pose from one root candidate.
+
+    Walks the 16-edge tree in reversed order with backward displacements,
+    then forward order with forward displacements; a keypoint is only filled
+    if its source is filled (score > 0) and it is still empty (score == 0) —
+    exact reference gating (decode.py:152-178). The edge loop is unrolled at
+    trace time (static 32 steps); under vmap each step is one K-wide gather.
+
+    Returns (keypoint_scores (17,), keypoint_coords (17,2), offsets (17,2)).
+    """
+    h, w, _ = scores_map.shape
+    stride = jnp.float32(output_stride)
+
+    kp_scores = jnp.zeros((NUM_KEYPOINTS,), jnp.float32)
+    kp_coords = jnp.zeros((NUM_KEYPOINTS, 2), jnp.float32)
+    kp_offsets = jnp.zeros((NUM_KEYPOINTS, 2), jnp.float32)
+    kp_scores = kp_scores.at[root_id].set(root_score)
+    kp_coords = kp_coords.at[root_id].set(root_image_coord)
+
+    def step(carry, edge_id, source_kp, target_kp, disp_map):
+        kp_scores, kp_coords, kp_offsets = carry
+        fill = (kp_scores[source_kp] > 0.0) & (kp_scores[target_kp] == 0.0)
+        score, coord, offset = _traverse(
+            kp_coords[source_kp], scores_map, offsets_yx, disp_map,
+            edge_id, target_kp, stride, h, w)
+        kp_scores = kp_scores.at[target_kp].set(
+            jnp.where(fill, score, kp_scores[target_kp]))
+        kp_coords = kp_coords.at[target_kp].set(
+            jnp.where(fill, coord, kp_coords[target_kp]))
+        kp_offsets = kp_offsets.at[target_kp].set(
+            jnp.where(fill, offset, kp_offsets[target_kp]))
+        return kp_scores, kp_coords, kp_offsets
+
+    carry = (kp_scores, kp_coords, kp_offsets)
+    # Backward pass: child -> parent along reversed edge order.
+    for edge in reversed(range(NUM_EDGES)):
+        parent, child = int(EDGES[edge, 0]), int(EDGES[edge, 1])
+        carry = step(carry, edge, source_kp=child, target_kp=parent,
+                     disp_map=dbwd_yx)
+    # Forward pass: parent -> child in edge order.
+    for edge in range(NUM_EDGES):
+        parent, child = int(EDGES[edge, 0]), int(EDGES[edge, 1])
+        carry = step(carry, edge, source_kp=parent, target_kp=child,
+                     disp_map=dfwd_yx)
+    return carry
+
+
+def decode_single(heatmap: jax.Array, offsets: jax.Array, dfwd: jax.Array,
+                  dbwd: jax.Array, output_stride: int,
+                  cfg: DecodeConfig) -> DecodedPoses:
+    """Decode one image's head tensors (all HWC layout) entirely on device.
+
+    Args:
+      heatmap: (H, W, 17) sigmoid scores.
+      offsets: (H, W, 34) packed [y||x].
+      dfwd/dbwd: (H, W, 32) packed [y||x].
+    """
+    h, w, _ = heatmap.shape
+    offsets_yx = split_yx(offsets, NUM_KEYPOINTS)   # (H, W, 17, 2)
+    dfwd_yx = split_yx(dfwd, NUM_EDGES)             # (H, W, 16, 2)
+    dbwd_yx = split_yx(dbwd, NUM_EDGES)
+
+    # Part selection: local-max NMS + global descending top-K.
+    mask = local_max_mask(heatmap, cfg.score_threshold, LOCAL_MAXIMUM_RADIUS)
+    cand_scores, cand_kp, cand_y, cand_x = top_k_candidates(
+        heatmap, mask, cfg.max_candidates)
+
+    # Root image coords: cell*stride + offset at the root cell
+    # (decode_multi.py:109).
+    root_offsets = offsets_yx[cand_y, cand_x, cand_kp]          # (K, 2)
+    cand_cell = jnp.stack([cand_y, cand_x], -1).astype(jnp.float32)
+    root_coords = cand_cell * output_stride + root_offsets      # (K, 2)
+
+    # Decode ALL candidate poses in parallel — the traversal is independent
+    # of greedy state.
+    all_scores, all_coords, all_offsets = jax.vmap(
+        lambda s, k, c: decode_pose(s, k, c, heatmap, offsets_yx,
+                                    dfwd_yx, dbwd_yx, output_stride)
+    )(cand_scores, cand_kp, root_coords)
+    # all_scores (K, 17); all_coords (K, 17, 2); all_offsets (K, 17, 2)
+
+    # Sequential greedy accept over ranked candidates with fixed-size pose
+    # buffers (decode_multi.py:104-139 semantics).
+    P = cfg.max_pose_detections
+    r2 = jnp.float32(cfg.nms_radius ** 2)
+    slot_ids = jnp.arange(P)
+
+    def body(i, state):
+        pose_scores, kp_scores, kp_coords, pose_offsets, count = state
+        valid = cand_scores[i] > -0.5          # top-K sentinel is -1
+        can_add = count < P
+        occupied = slot_ids < count            # (P,)
+
+        # Root NMS: skip if the root keypoint lands within nms_radius of the
+        # same keypoint of any accepted pose (decode_multi.py:111-113).
+        root_kp = cand_kp[i]
+        d2_root = jnp.sum(
+            (kp_coords[:, root_kp, :] - root_coords[i]) ** 2, axis=-1)  # (P,)
+        root_suppressed = jnp.any(occupied & (d2_root <= r2))
+
+        # Instance score: mean over keypoints not overlapped (same keypoint
+        # index within nms_radius) by ANY accepted pose
+        # (decode_multi.py:14-24).
+        d2 = jnp.sum((kp_coords - all_coords[i][None]) ** 2, axis=-1)  # (P, 17)
+        overlapped = jnp.any(occupied[:, None] & (d2 <= r2), axis=0)   # (17,)
+        inst_score = jnp.sum(
+            jnp.where(overlapped, 0.0, all_scores[i])) / NUM_KEYPOINTS
+
+        score_ok = (cfg.min_pose_score == 0.0) | (inst_score >= cfg.min_pose_score)
+        accept = valid & can_add & (~root_suppressed) & score_ok
+
+        idx = jnp.where(accept, count, P)  # P = out-of-range, write dropped
+        pose_scores = pose_scores.at[idx].set(
+            jnp.where(accept, inst_score, 0.0), mode='drop')
+        kp_scores = kp_scores.at[idx].set(all_scores[i], mode='drop')
+        kp_coords = kp_coords.at[idx].set(all_coords[i], mode='drop')
+        pose_offsets = pose_offsets.at[idx].set(all_offsets[i], mode='drop')
+        count = count + accept.astype(jnp.int32)
+        return pose_scores, kp_scores, kp_coords, pose_offsets, count
+
+    init = (jnp.zeros((P,), jnp.float32),
+            jnp.zeros((P, NUM_KEYPOINTS), jnp.float32),
+            jnp.zeros((P, NUM_KEYPOINTS, 2), jnp.float32),
+            jnp.zeros((P, NUM_KEYPOINTS, 2), jnp.float32),
+            jnp.int32(0))
+    pose_scores, kp_scores, kp_coords, pose_offsets, _ = lax.fori_loop(
+        0, cfg.max_candidates, body, init)
+    return DecodedPoses(pose_scores, kp_scores, kp_coords, pose_offsets)
+
+
+@functools.partial(jax.jit, static_argnames=('output_stride', 'cfg'))
+def decode_single_jit(heatmap, offsets, dfwd, dbwd, output_stride: int,
+                      cfg: DecodeConfig) -> DecodedPoses:
+    return decode_single(heatmap, offsets, dfwd, dbwd, output_stride, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=('output_stride', 'cfg'))
+def decode_batch(heatmap, offsets, dfwd, dbwd, output_stride: int,
+                 cfg: DecodeConfig) -> DecodedPoses:
+    """Batched decode: (B, H, W, C) heads -> (B, P, ...) poses. One XLA
+    program; candidates AND batch items decode in parallel."""
+    return jax.vmap(
+        lambda h, o, f, b: decode_single(h, o, f, b, output_stride, cfg)
+    )(heatmap, offsets, dfwd, dbwd)
+
+
+# ---------------------------------------------------------------------------
+# Single-pose decoding (reference decode.py:66-128 capability)
+# ---------------------------------------------------------------------------
+
+def decode_single_pose(heatmap: jax.Array, offsets: jax.Array,
+                       dfwd: jax.Array, dbwd: jax.Array, output_stride: int,
+                       score_threshold: float = 0.5) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-person fast path.
+
+    Reference semantics (decode.py:66-128): per keypoint, take the
+    highest-scoring local maximum above threshold; the root is the keypoint
+    with the global best score; grow one pose from it. Fully vectorized —
+    the reference's Python loop over nonzero indices becomes a per-channel
+    argmax over the masked heatmap.
+
+    Returns (keypoint_scores (17,), keypoint_coords (17,2), root_id).
+    """
+    h, w, _ = heatmap.shape
+    mask = local_max_mask(heatmap, score_threshold, LOCAL_MAXIMUM_RADIUS)
+    masked = jnp.where(mask, heatmap, 0.0)          # (H, W, 17)
+    flat = masked.reshape(h * w, NUM_KEYPOINTS)
+    best_idx = jnp.argmax(flat, axis=0)              # (17,)
+    best_scores = jnp.take_along_axis(flat, best_idx[None], axis=0)[0]
+    best_y = best_idx // w
+    best_x = best_idx % w
+
+    root_id = jnp.argmax(best_scores)
+    root_cell = jnp.stack([best_y[root_id], best_x[root_id]]).astype(jnp.float32)
+    offsets_yx = split_yx(offsets, NUM_KEYPOINTS)
+    # NOTE the reference's single-pose `find_root` returns the grid cell
+    # without offset refinement (decode.py:126); we refine with the offset
+    # like the multi-pose path for sub-cell accuracy (documented divergence).
+    root_coord = root_cell * output_stride + offsets_yx[
+        best_y[root_id], best_x[root_id], root_id]
+
+    kp_scores, kp_coords, _ = decode_pose(
+        best_scores[root_id], root_id, root_coord, heatmap, offsets_yx,
+        split_yx(dfwd, NUM_EDGES), split_yx(dbwd, NUM_EDGES), output_stride)
+    return kp_scores, kp_coords, root_id

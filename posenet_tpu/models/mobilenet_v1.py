@@ -249,15 +249,16 @@ def forward(params: Dict[str, Any], x: jax.Array, cfg: ModelConfig,
         x = x.astype(cfg.compute_dtype)
 
     hp = params['heads']
-    heatmap = jax.nn.sigmoid(
-        _conv2d(x, hp['heatmap']['w'], hp['heatmap']['b'], precision=precision))
+    heatmap_logits = _conv2d(x, hp['heatmap']['w'], hp['heatmap']['b'],
+                             precision=precision).astype(jnp.float32)
     offset = _conv2d(x, hp['offset']['w'], hp['offset']['b'], precision=precision)
     disp_fwd = _conv2d(x, hp['displacement_fwd']['w'], hp['displacement_fwd']['b'],
                        precision=precision)
     disp_bwd = _conv2d(x, hp['displacement_bwd']['w'], hp['displacement_bwd']['b'],
                        precision=precision)
     return {
-        'heatmap': heatmap.astype(jnp.float32),
+        'heatmap': jax.nn.sigmoid(heatmap_logits),
+        'heatmap_logits': heatmap_logits,
         'offset': offset.astype(jnp.float32),
         'displacement_fwd': disp_fwd.astype(jnp.float32),
         'displacement_bwd': disp_bwd.astype(jnp.float32),

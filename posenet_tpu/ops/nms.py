@@ -1,0 +1,65 @@
+"""Part-selection ops: local-maximum NMS + top-K candidate ranking.
+
+Replaces the reference's `F.max_pool2d` + boolean `nonzero` + `argsort`
+pipeline (reference decode_multi.py:27-34) with static-shape XLA primitives:
+`lax.reduce_window` for the local-max test and `lax.top_k` over a masked,
+flattened score volume for the ranked candidate list. XLA fuses the sigmoid
+heatmap, window max, compare and mask into one pass over VMEM-resident data.
+
+The reference hard-codes `padding=1` in its pooling call, which is only
+correct for LOCAL_MAXIMUM_RADIUS=1 (SURVEY.md Appendix B7); here the padding
+is derived from the radius.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def local_max_mask(scores: jax.Array, score_threshold: float,
+                   radius: int) -> jax.Array:
+    """Boolean mask of cells that are the maximum of their (2r+1)^2 window
+    AND meet the score threshold.
+
+    Args:
+      scores: (H, W, K) heatmap (sigmoid already applied).
+    Returns:
+      (H, W, K) bool mask.
+    """
+    window = 2 * radius + 1
+    max_vals = lax.reduce_window(
+        scores,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(window, window, 1),
+        window_strides=(1, 1, 1),
+        padding=((radius, radius), (radius, radius), (0, 0)),
+    )
+    return (scores == max_vals) & (scores >= score_threshold)
+
+
+def top_k_candidates(scores: jax.Array, mask: jax.Array,
+                     k: int) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Rank masked local maxima by score, descending, with static size k.
+
+    To reproduce the reference's candidate ordering (global descending sort
+    over the (keypoint, y, x)-major nonzero list, decode_multi.py:31-34) we
+    flatten in (keypoint, y, x) order so equal scores tie-break identically.
+
+    Returns:
+      (scores (k,), keypoint_ids (k,), ys (k,), xs (k,)) — invalid slots
+      (beyond the true candidate count) carry score -1.
+    """
+    h, w, _ = scores.shape
+    # (H, W, K) -> (K, H, W) flatten: keypoint-major like the reference.
+    flat = jnp.where(mask, scores, -1.0).transpose(2, 0, 1).reshape(-1)
+    top_scores, top_idx = lax.top_k(flat, k)
+    kp = top_idx // (h * w)
+    rem = top_idx % (h * w)
+    ys = rem // w
+    xs = rem % w
+    return top_scores, kp, ys, xs

@@ -1,0 +1,94 @@
+"""Input preprocessing: resize-to-valid-stride + normalization.
+
+Behavioral parity with the reference input half of utils
+(/root/reference/posenet/utils.py:7-38): images are resized so each side is
+`(d * scale_factor // stride) * stride + 1`, converted BGR->RGB, scaled to
+[-1, 1] via `*2/255 - 1`, and returned with the per-axis `scale =
+source_dim / target_dim` that callers multiply decoded coordinates by.
+
+Two paths:
+
+- Host path (`process_input`, `read_imgfile`, `read_cap`): cv2 bilinear
+  resize, bit-identical input to what the reference feeds its model. Returns
+  NCHW like the reference so existing caller code ports unchanged.
+- Device path (`preprocess_on_device`): jit-compiled `jax.image.resize` +
+  normalization fused into the same XLA program as the backbone — the
+  benchmark/streaming path, where the host only decodes JPEG bytes and the
+  uint8 frame is shipped to HBM once (3 bytes/px instead of 12).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def valid_resolution(width: float, height: float,
+                     output_stride: int = 16) -> Tuple[int, int]:
+    """Largest stride-compatible (w, h) = (d//s)*s + 1 not exceeding the
+    scaled source dims (reference utils.py:7-10)."""
+    target_width = (int(width) // output_stride) * output_stride + 1
+    target_height = (int(height) // output_stride) * output_stride + 1
+    return target_width, target_height
+
+
+def process_input(source_img: np.ndarray, scale_factor: float = 1.0,
+                  output_stride: int = 16):
+    """BGR uint8 HWC frame -> (input (1,3,th,tw) float32 in [-1,1],
+    source_img, scale (2,)) — reference utils.py:13-26 contract."""
+    import cv2
+
+    target_width, target_height = valid_resolution(
+        source_img.shape[1] * scale_factor, source_img.shape[0] * scale_factor,
+        output_stride=output_stride)
+    scale = np.array([source_img.shape[0] / target_height,
+                      source_img.shape[1] / target_width])
+
+    input_img = cv2.resize(source_img, (target_width, target_height),
+                           interpolation=cv2.INTER_LINEAR)
+    input_img = cv2.cvtColor(input_img, cv2.COLOR_BGR2RGB).astype(np.float32)
+    input_img = input_img * (2.0 / 255.0) - 1.0
+    input_img = input_img.transpose((2, 0, 1)).reshape(
+        1, 3, target_height, target_width)
+    return input_img, source_img, scale
+
+
+def read_imgfile(path: str, scale_factor: float = 1.0,
+                 output_stride: int = 16):
+    """Read + preprocess an image file (reference utils.py:36-38)."""
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        raise IOError(f"could not read image: {path}")
+    return process_input(img, scale_factor, output_stride)
+
+
+def read_cap(cap, scale_factor: float = 1.0, output_stride: int = 16):
+    """Read + preprocess one capture frame (reference utils.py:29-33)."""
+    res, img = cap.read()
+    if not res:
+        raise IOError("webcam failure")
+    return process_input(img, scale_factor, output_stride)
+
+
+@functools.partial(jax.jit, static_argnames=('target_hw',))
+def preprocess_on_device(frame_bgr_u8: jax.Array,
+                         target_hw: Tuple[int, int]) -> jax.Array:
+    """uint8 BGR (H, W, 3) or batch (B, H, W, 3) -> normalized NHWC float.
+
+    Bilinear resize + BGR->RGB flip + [-1,1] scaling, all on device. XLA
+    fuses the channel flip and affine normalization into the resize's
+    output epilogue.
+    """
+    x = frame_bgr_u8
+    if x.ndim == 3:
+        x = x[None]
+    th, tw = target_hw
+    x = x[..., ::-1].astype(jnp.float32)  # BGR -> RGB
+    x = jax.image.resize(x, (x.shape[0], th, tw, 3), method='bilinear')
+    return x * (2.0 / 255.0) - 1.0

@@ -1,0 +1,127 @@
+"""Training dataset: images + prepared ground truth -> device-ready batches.
+
+Capability parity with the reference dataset
+(/root/reference/train.py:428-549 `PosenetDatasetImage`): list images in a
+directory, load the padded GT prepared by the ground-truth generators, and
+yield (image, keypoints, ...) items. Differences by design:
+
+- Batches are NHWC float32 with keypoints in (y, x) grid order — exactly
+  what the jitted train step consumes; no per-item `.cuda()` uploads.
+- Images are resized to a fixed stride-valid resolution at load so batching
+  never depends on same-sized inputs (the reference defines torchvision
+  transforms but never applies them and silently requires equal sizes —
+  SURVEY.md Appendix B8).
+- `iter_batches` is a simple epoch iterator with host-side shuffling; the
+  heavy work (target synthesis) happens inside the jitted loss.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from posenet_tpu.preprocess import read_imgfile
+from posenet_tpu.training.ground_truth import (MAX_NUM_POSES,
+                                               load_ground_truth_data, to_yx)
+
+IMAGE_EXTENSIONS = ('.png', '.jpg', '.jpeg')
+
+
+class PosenetDataset:
+    """Images + prepared keypoint GT.
+
+    Args:
+      image_dir: directory of training images.
+      keypoints_dir: `keypoints_updated`-style directory produced by
+        `ground_truth.prepare_ground_truth_data` (reference train.py:1018).
+      image_size: square stride-valid input resolution (default 513).
+      output_stride: model output stride; GT keypoints live on the
+        (image_size-1)/stride + 1 grid.
+    """
+
+    def __init__(self, image_dir: str, keypoints_dir: str,
+                 image_size: int = 513, output_stride: int = 16,
+                 scale_factor: float = 1.0):
+        self.image_dir = image_dir
+        self.keypoints_dir = keypoints_dir
+        self.image_size = image_size
+        self.output_stride = output_stride
+        self.scale_factor = scale_factor
+
+        files = sorted(
+            f for f in os.listdir(image_dir)
+            if f.lower().endswith(IMAGE_EXTENSIONS))
+        # keep only images with prepared GT
+        self.files = [
+            f for f in files
+            if os.path.exists(os.path.join(
+                keypoints_dir, os.path.splitext(f)[0],
+                os.path.splitext(f)[0] + '_keypoints.txt'))]
+        if not self.files:
+            raise FileNotFoundError(
+                f'no images in {image_dir} with GT under {keypoints_dir}')
+        stems = [os.path.splitext(f)[0] for f in self.files]
+        kps_xy, _, offs = load_ground_truth_data(
+            stems, keypoints_dir, with_heatmaps=False)
+        # (N, 15, 17, 2) (x,y) -> (y,x); sentinels (-1,-1)/(0,0) survive the
+        # coordinate swap unchanged.
+        self.keypoints = to_yx(kps_xy).astype(np.float32)
+        self.offset_vectors = to_yx(offs).astype(np.float32)
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        import cv2
+
+        path = os.path.join(self.image_dir, self.files[idx])
+        img = cv2.imread(path)
+        if img is None:
+            raise IOError(f'could not read {path}')
+        img = cv2.resize(img, (self.image_size, self.image_size),
+                         interpolation=cv2.INTER_LINEAR)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+        img = img * (2.0 / 255.0) - 1.0            # same normalization as inference
+        return {
+            'image': img,                                   # (S, S, 3) NHWC
+            'keypoints': self.keypoints[idx],               # (15, 17, 2) y-x grid
+            'offset_vectors': self.offset_vectors[idx],     # (15, 17, 2)
+            'filename': self.files[idx],
+        }
+
+    def iter_batches(self, batch_size: int, shuffle: bool = True,
+                     seed: int = 0, drop_remainder: bool = True
+                     ) -> Iterator[Dict[str, np.ndarray]]:
+        """Epoch iterator yielding stacked numpy batches."""
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        n = (len(self) // batch_size * batch_size if drop_remainder
+             else len(self))
+        for start in range(0, n, batch_size):
+            idxs = order[start:start + batch_size]
+            items = [self[int(i)] for i in idxs]
+            yield {
+                'image': np.stack([it['image'] for it in items]),
+                'keypoints': np.stack([it['keypoints'] for it in items]),
+                'filenames': [it['filename'] for it in items],
+            }
+
+
+def get_dataset_mean_std(dataset: PosenetDataset) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-channel mean/std over the dataset (reference train.py:528-549,
+    with the accumulator-reset bug B12 fixed: accumulate across ALL items,
+    divide once)."""
+    mean = np.zeros(3, np.float64)
+    sq = np.zeros(3, np.float64)
+    n = 0
+    for i in range(len(dataset)):
+        img = dataset[i]['image'].reshape(-1, 3).astype(np.float64)
+        mean += img.sum(axis=0)
+        sq += (img ** 2).sum(axis=0)
+        n += img.shape[0]
+    mean /= n
+    std = np.sqrt(sq / n - mean ** 2)
+    return mean, std

@@ -1,0 +1,112 @@
+"""Jitted training step: loss -> grad -> masked Adam update, data-parallel.
+
+Replaces the reference's host-driven loop body (reference train.py:647-815:
+per-item Python loss assembly, `backward()`, `optimizer.step()`) with one
+compiled XLA program per step. Heads-only fine-tuning uses an optax
+gradient mask instead of `requires_grad` mutation (reference
+train.py:620-634); the reference's B3 bug (train path reading the forward
+displacement tensor as backward) cannot occur here because heads are
+addressed by name.
+
+Data parallelism: `make_train_step(..., mesh=...)` jits with the batch
+sharded over the mesh's 'data' axis and params replicated; XLA emits the
+gradient psum over ICI automatically (BASELINE config 5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from posenet_tpu.config import ModelConfig, TrainConfig
+from posenet_tpu.models import mobilenet_v1
+from posenet_tpu.parallel import mesh as mesh_lib
+from posenet_tpu.training.loss import batched_loss
+
+HEAD_NAMES = ('heatmap', 'offset', 'displacement_fwd', 'displacement_bwd')
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def trainable_mask(params, heads_only: bool = True):
+    """Pytree of bools: which leaves receive updates. Heads-only mirrors the
+    reference's freeze-backbone/unfreeze-heads scheme."""
+    if not heads_only:
+        return jax.tree.map(lambda _: True, params)
+    return {
+        'backbone': jax.tree.map(lambda _: False, params['backbone']),
+        'heads': jax.tree.map(lambda _: True, params['heads']),
+    }
+
+
+def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
+    tx = optax.adam(cfg.learning_rate)
+    mask = trainable_mask(params, cfg.heads_only)
+    return optax.masked(tx, mask)
+
+
+def loss_fn(params, batch: Dict[str, jax.Array], model_cfg: ModelConfig,
+            train_cfg: TrainConfig) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """batch: {'image': (B,H,W,3) float in [-1,1], 'keypoints': (B,P,17,2)}."""
+    out = mobilenet_v1.forward(params, batch['image'], model_cfg)
+    metrics = batched_loss(
+        out['heatmap_logits'], out['offset'], batch['keypoints'],
+        model_cfg.output_stride,
+        heatmap_weight=train_cfg.heatmap_loss_weight,
+        offset_weight=train_cfg.offset_loss_weight)
+    return metrics['loss'], metrics
+
+
+def train_step(state: TrainState, batch, tx, model_cfg: ModelConfig,
+               train_cfg: TrainConfig):
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    (_, metrics), grads = grad_fn(state.params, batch, model_cfg, train_cfg)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), metrics
+
+
+def eval_step(params, batch, model_cfg: ModelConfig, train_cfg: TrainConfig):
+    _, metrics = loss_fn(params, batch, model_cfg, train_cfg)
+    return metrics
+
+
+def init_train_state(params, cfg: TrainConfig) -> Tuple[TrainState, optax.GradientTransformation]:
+    tx = make_optimizer(cfg, params)
+    return TrainState(params, tx.init(params), jnp.int32(0)), tx
+
+
+def make_train_step(tx, model_cfg: ModelConfig, train_cfg: TrainConfig,
+                    mesh: Optional[jax.sharding.Mesh] = None):
+    """Compile the step. With a mesh: batch sharded over 'data', state
+    replicated — the canonical DP layout."""
+    fn = functools.partial(train_step, tx=tx, model_cfg=model_cfg,
+                           train_cfg=train_cfg)
+    if mesh is None:
+        return jax.jit(fn)
+    repl = mesh_lib.replicated_sharding(mesh)
+    data = mesh_lib.data_sharding(mesh)
+    return jax.jit(
+        fn,
+        in_shardings=(repl, {'image': data, 'keypoints': data}),
+        out_shardings=(repl, repl),
+    )
+
+
+def make_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
+                   mesh: Optional[jax.sharding.Mesh] = None):
+    fn = functools.partial(eval_step, model_cfg=model_cfg, train_cfg=train_cfg)
+    if mesh is None:
+        return jax.jit(fn)
+    repl = mesh_lib.replicated_sharding(mesh)
+    data = mesh_lib.data_sharding(mesh)
+    return jax.jit(fn, in_shardings=(repl, {'image': data, 'keypoints': data}),
+                   out_shardings=repl)

@@ -1,0 +1,207 @@
+"""Training loop: heads-only fine-tuning with DP sharding, checkpoints,
+early stopping, and eval metrics.
+
+Capability parity with the reference loop (/root/reference/train.py:578-916):
+per-epoch train + eval passes of the heatmap+offset loss, heads-only
+freezing, OKS/precision/recall/mAP metrics, early stopping with patience 10
+on the eval loss, and metric logging (wandb optional). Improvements the
+reference lacks (SURVEY.md §5 checkpoint/resume: the reference's "save best
+model" branch saves nothing, train.py:897-899):
+
+- Orbax checkpointing of params + optimizer state + step, with resume.
+- The step is ONE compiled XLA program (grad + masked-Adam update),
+  data-parallel over a device mesh; the reference re-enters Python per item
+  and recomputes metric sweeps in the hot loop (SURVEY §3.4 notes the CPU
+  metric sweep dominates its step time). Metrics here run at a configurable
+  cadence on the eval set only.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from posenet_tpu.config import DecodeConfig, ModelConfig, TrainConfig
+from posenet_tpu.decode import decode_batch
+from posenet_tpu.models import mobilenet_v1
+from posenet_tpu.parallel import mesh as mesh_lib
+from posenet_tpu.training import metrics as metrics_lib
+from posenet_tpu.training import train_step as ts
+from posenet_tpu.training.dataset import PosenetDataset
+
+
+class MetricLogger:
+    """Quiet-by-default structured metric sink with an optional wandb
+    backend (the reference hard-requires wandb, train.py:33,993)."""
+
+    def __init__(self, use_wandb: bool = False, project: str = 'posenet',
+                 verbose: bool = True):
+        self.verbose = verbose
+        self.wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                wandb.init(project=project)
+                self.wandb = wandb
+            except ImportError:
+                print('wandb not available; logging to stdout only')
+        self.history = []
+
+    def log(self, data: Dict, step: Optional[int] = None):
+        self.history.append(dict(data))
+        if self.wandb is not None:
+            self.wandb.log(data, step=step)
+        if self.verbose:
+            parts = ' '.join(f'{k}={v:.4f}' if isinstance(v, float) else f'{k}={v}'
+                             for k, v in data.items())
+            print(parts)
+
+
+def save_checkpoint(ckpt_dir: str, state: ts.TrainState):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f'step_{int(state.step)}'))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(ckpt_dir: str, template: ts.TrainState) -> Optional[ts.TrainState]:
+    import orbax.checkpoint as ocp
+
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [d for d in os.listdir(ckpt_dir) if d.startswith('step_')]
+    if not steps:
+        return None
+    latest = max(steps, key=lambda d: int(d.split('_')[1]))
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        os.path.abspath(os.path.join(ckpt_dir, latest)),
+        jax.device_get(template))
+    return ts.TrainState(*restored)
+
+
+def evaluate_poses(params, batch, model_cfg: ModelConfig,
+                   decode_cfg: DecodeConfig):
+    """Decode predictions for a batch and score them against GT keypoints
+    (host-side Hungarian/OKS/mAP — reference train.py:757-779)."""
+    out = mobilenet_v1.forward_jit(params, jnp.asarray(batch['image']), model_cfg)
+    decoded = decode_batch(out['heatmap'], out['offset'],
+                           out['displacement_fwd'], out['displacement_bwd'],
+                           model_cfg.output_stride, decode_cfg)
+    kp_coords = np.asarray(decoded.keypoint_coords)  # (B, P, 17, 2) image px
+    pose_scores = np.asarray(decoded.pose_scores)
+
+    oks_vals, maps = [], []
+    for b in range(kp_coords.shape[0]):
+        n_pred = int((pose_scores[b] > 0).sum())
+        gt = np.asarray(batch['keypoints'][b])
+        gt_present = ~np.all((gt == 0) | (gt == -1), axis=(1, 2))
+        gt_poses = gt[gt_present] * model_cfg.output_stride  # grid -> px
+        preds = kp_coords[b, :n_pred]
+        if n_pred == 0 or len(gt_poses) == 0:
+            continue
+        pairs = metrics_lib.match_poses(preds, gt_poses)
+        oks_vals.append(metrics_lib.calculate_oks(pairs, preds, gt_poses))
+        _, _, ap = metrics_lib.threshold_sweep(preds, gt_poses)
+        maps.append(ap)
+    return (float(np.mean(oks_vals)) if oks_vals else 0.0,
+            float(np.mean(maps)) if maps else 0.0)
+
+
+def train(train_dataset: PosenetDataset,
+          test_dataset: Optional[PosenetDataset],
+          train_cfg: TrainConfig,
+          logger: Optional[MetricLogger] = None,
+          mesh: Optional[jax.sharding.Mesh] = None,
+          params=None,
+          resume: bool = True,
+          eval_pose_metrics: bool = True) -> ts.TrainState:
+    """Run the fine-tuning loop; returns the final TrainState."""
+    logger = logger or MetricLogger()
+    model_cfg = ModelConfig(model_id=train_cfg.model_id,
+                            output_stride=train_cfg.output_stride)
+    if params is None:
+        params = mobilenet_v1.init_params(
+            jax.random.PRNGKey(train_cfg.seed), model_cfg)
+
+    state, tx = ts.init_train_state(params, train_cfg)
+    if resume:
+        restored = restore_checkpoint(train_cfg.checkpoint_dir, state)
+        if restored is not None:
+            state = restored
+            print(f'resumed from step {int(state.step)}')
+
+    if mesh is not None:
+        state = mesh_lib.replicate(state, mesh)
+    step_fn = ts.make_train_step(tx, model_cfg, train_cfg, mesh=mesh)
+    eval_fn = ts.make_eval_step(model_cfg, train_cfg, mesh=mesh)
+
+    decode_cfg = DecodeConfig(min_pose_score=0.25, score_threshold=0.25)
+    best_val_loss = float('inf')
+    no_improve = 0
+
+    for epoch in range(train_cfg.num_epochs):
+        t0 = time.time()
+        train_losses = []
+        for batch in train_dataset.iter_batches(
+                train_cfg.batch_size, shuffle=True,
+                seed=train_cfg.seed + epoch):
+            device_batch = {'image': jnp.asarray(batch['image']),
+                            'keypoints': jnp.asarray(batch['keypoints'])}
+            if mesh is not None:
+                device_batch = mesh_lib.shard_batch(device_batch, mesh)
+            state, m = step_fn(state, device_batch)
+            train_losses.append(m)
+
+        train_metrics = {k: float(np.mean([float(m[k]) for m in train_losses]))
+                         for k in train_losses[0]} if train_losses else {}
+
+        log = {'epoch': epoch, **{f'train_{k}': v for k, v in train_metrics.items()}}
+
+        if test_dataset is not None:
+            eval_losses = []
+            oks_vals, map_vals = [], []
+            for batch in test_dataset.iter_batches(
+                    train_cfg.batch_size, shuffle=False, drop_remainder=False):
+                device_batch = {'image': jnp.asarray(batch['image']),
+                                'keypoints': jnp.asarray(batch['keypoints'])}
+                eval_losses.append(eval_fn(state.params, device_batch))
+                if eval_pose_metrics:
+                    oks, ap = evaluate_poses(state.params, batch, model_cfg,
+                                             decode_cfg)
+                    oks_vals.append(oks)
+                    map_vals.append(ap)
+            val_loss = float(np.mean([float(m['loss']) for m in eval_losses]))
+            log['test_loss'] = val_loss
+            if eval_pose_metrics and oks_vals:
+                log['oks'] = float(np.mean(oks_vals))
+                log['mAP'] = float(np.mean(map_vals))
+
+            # Early stopping (reference train.py:583-585,892-902) — but we
+            # actually save the best model.
+            if val_loss < best_val_loss:
+                best_val_loss = val_loss
+                no_improve = 0
+                save_checkpoint(train_cfg.checkpoint_dir, state)
+            else:
+                no_improve += 1
+        else:
+            save_checkpoint(train_cfg.checkpoint_dir, state)
+
+        log['epoch_time_s'] = time.time() - t0
+        logger.log(log, step=int(state.step))
+
+        if test_dataset is not None and no_improve >= train_cfg.early_stop_patience:
+            print(f'early stop at epoch {epoch} '
+                  f'(no improvement for {no_improve} epochs)')
+            break
+
+    return state

@@ -11,6 +11,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon TPU PJRT plugin in this environment overrides JAX_PLATFORMS; the
+# config API is authoritative, so force the CPU backend explicitly (tests
+# must not contend for the single tunneled TPU chip).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import sys
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -1,0 +1,179 @@
+"""Multi-pose decoder golden parity tests vs the PyTorch reference
+(SURVEY.md §4: each decode stage + end-to-end against reference numerics)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from posenet_tpu.config import DecodeConfig
+from posenet_tpu.constants import LOCAL_MAXIMUM_RADIUS, NUM_KEYPOINTS
+from posenet_tpu.decode import decode_single_jit, decode_single_pose, split_yx
+from posenet_tpu.decode_multi import decode_multiple_poses
+from posenet_tpu.ops.nms import local_max_mask, top_k_candidates
+
+from tests import reference_oracle
+
+
+def synth_heads(seed, r=33, peaky=True):
+    """Synthesize plausible head tensors: a few gaussian heatmap peaks +
+    smooth offset/displacement fields (CHW layouts like the reference)."""
+    rng = np.random.RandomState(seed)
+    scores = rng.uniform(0, 0.3, size=(NUM_KEYPOINTS, r, r)).astype(np.float32)
+    if peaky:
+        n_people = rng.randint(1, 4)
+        for p in range(n_people):
+            cy, cx = rng.randint(3, r - 3, size=2)
+            for k in range(NUM_KEYPOINTS):
+                ky = np.clip(cy + rng.randint(-4, 5), 0, r - 1)
+                kx = np.clip(cx + rng.randint(-4, 5), 0, r - 1)
+                yy, xx = np.mgrid[0:r, 0:r]
+                g = np.exp(-((yy - ky) ** 2 + (xx - kx) ** 2) / 4.0)
+                scores[k] = np.maximum(scores[k], (0.6 + 0.4 * rng.rand()) * g)
+    scores = scores.astype(np.float32)
+    offsets = rng.uniform(-8, 8, size=(2 * NUM_KEYPOINTS, r, r)).astype(np.float32)
+    dfwd = rng.uniform(-24, 24, size=(32, r, r)).astype(np.float32)
+    dbwd = rng.uniform(-24, 24, size=(32, r, r)).astype(np.float32)
+    return scores, offsets, dfwd, dbwd
+
+
+def test_split_yx_matches_reference_packing():
+    """Channel packing must equal reshape(2,-1,H,W).transpose(1,2,3,0)
+    (reference decode_multi.py:89-97)."""
+    rng = np.random.RandomState(0)
+    chw = rng.randn(34, 5, 7).astype(np.float32)
+    ref = chw.reshape(2, 17, 5, 7).transpose(1, 2, 3, 0)  # (17,5,7,2)
+    hwc = jnp.asarray(chw.transpose(1, 2, 0))              # (5,7,34)
+    ours = np.asarray(split_yx(hwc, 17))                   # (5,7,17,2)
+    np.testing.assert_array_equal(ours.transpose(2, 0, 1, 3), ref)
+
+
+@pytest.mark.skipif(not reference_oracle.has_reference(), reason="reference unavailable")
+def test_nms_mask_matches_reference():
+    import torch
+    import torch.nn.functional as F
+
+    scores, _, _, _ = synth_heads(1)
+    t = torch.tensor(scores)
+    lmd = 2 * LOCAL_MAXIMUM_RADIUS + 1
+    max_vals = F.max_pool2d(t, lmd, stride=1, padding=1)
+    ref_mask = ((t == max_vals) & (t >= 0.5)).numpy()
+
+    ours = np.asarray(local_max_mask(
+        jnp.asarray(scores.transpose(1, 2, 0)), 0.5, LOCAL_MAXIMUM_RADIUS))
+    np.testing.assert_array_equal(ours.transpose(2, 0, 1), ref_mask)
+
+
+@pytest.mark.skipif(not reference_oracle.has_reference(), reason="reference unavailable")
+def test_candidate_ranking_matches_reference():
+    import torch
+
+    scores, _, _, _ = synth_heads(2)
+    # reference part selection (decode_multi.py:27-34)
+    ref_scores, ref_idx = None, None
+    import torch.nn.functional as F
+    t = torch.tensor(scores)
+    max_vals = F.max_pool2d(t, 3, stride=1, padding=1)
+    max_loc = (t == max_vals) & (t >= 0.5)
+    idx = max_loc.nonzero().numpy()
+    vec = t[max_loc].numpy()
+    order = np.argsort(-vec, kind='stable')
+    ref_scores, ref_idx = vec[order], idx[order]
+
+    mask = local_max_mask(jnp.asarray(scores.transpose(1, 2, 0)), 0.5,
+                          LOCAL_MAXIMUM_RADIUS)
+    k = 64
+    top_scores, kp, ys, xs = top_k_candidates(
+        jnp.asarray(scores.transpose(1, 2, 0)), mask, k)
+    n = len(ref_scores)
+    assert n <= k
+    np.testing.assert_allclose(np.asarray(top_scores[:n]), ref_scores, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(kp[:n]), ref_idx[:, 0])
+    np.testing.assert_array_equal(np.asarray(ys[:n]), ref_idx[:, 1])
+    np.testing.assert_array_equal(np.asarray(xs[:n]), ref_idx[:, 2])
+    assert float(top_scores[n]) == -1.0  # sentinel beyond real candidates
+
+
+@pytest.mark.skipif(not reference_oracle.has_reference(), reason="reference unavailable")
+@pytest.mark.parametrize("seed", range(8))
+def test_decode_end_to_end_parity(seed):
+    """Full decode parity on synthetic multi-person heads: pose count, scores
+    and coordinates must match the reference (<=1e-3 px, BASELINE demands
+    <=1px mean)."""
+    scores, offsets, dfwd, dbwd = synth_heads(seed)
+    kwargs = dict(max_pose_detections=10, score_threshold=0.5,
+                  nms_radius=20, min_pose_score=0.25)
+
+    ref = reference_oracle.reference_decode(
+        scores, offsets, dfwd, dbwd, 16,
+        max_pose_detections=10, score_threshold=0.5, nms_radius=20,
+        min_pose_score=0.25)
+
+    ours = decode_multiple_poses(scores, offsets, dfwd, dbwd, 16, **kwargs)
+
+    np.testing.assert_allclose(ours[0], ref[0], atol=1e-5)   # pose scores
+    np.testing.assert_allclose(ours[1], ref[1], atol=1e-5)   # kp scores
+    np.testing.assert_allclose(ours[2], ref[2], atol=1e-3)   # coords (px)
+    np.testing.assert_allclose(ours[3], ref[3], atol=1e-4)   # pose offsets
+
+
+@pytest.mark.skipif(not reference_oracle.has_reference(), reason="reference unavailable")
+def test_decode_parity_stride8():
+    scores, offsets, dfwd, dbwd = synth_heads(100, r=65)
+    ref = reference_oracle.reference_decode(
+        scores, offsets, dfwd, dbwd, 8, max_pose_detections=10,
+        score_threshold=0.5, nms_radius=20, min_pose_score=0.25)
+    ours = decode_multiple_poses(scores, offsets, dfwd, dbwd, 8,
+                                 max_pose_detections=10, score_threshold=0.5,
+                                 nms_radius=20, min_pose_score=0.25)
+    np.testing.assert_allclose(ours[0], ref[0], atol=1e-5)
+    np.testing.assert_allclose(ours[2], ref[2], atol=1e-3)
+
+
+@pytest.mark.skipif(not reference_oracle.has_reference(), reason="reference unavailable")
+def test_decode_min_pose_score_zero_accepts_all():
+    """min_pose_score=0 reverts to 'accept every non-suppressed candidate'
+    (reference decode_multi.py:124-128 NOTE)."""
+    scores, offsets, dfwd, dbwd = synth_heads(5)
+    ref = reference_oracle.reference_decode(
+        scores, offsets, dfwd, dbwd, 16, min_pose_score=0.)
+    ours = decode_multiple_poses(scores, offsets, dfwd, dbwd, 16,
+                                 min_pose_score=0.)
+    np.testing.assert_allclose(ours[0], ref[0], atol=1e-5)
+    np.testing.assert_allclose(ours[2], ref[2], atol=1e-3)
+
+
+def test_decode_empty_heatmap():
+    """No candidate above threshold -> all-zero buffers."""
+    r = 33
+    scores = np.full((NUM_KEYPOINTS, r, r), 0.1, np.float32)
+    offsets = np.zeros((34, r, r), np.float32)
+    disp = np.zeros((32, r, r), np.float32)
+    out = decode_multiple_poses(scores, offsets, disp, disp, 16)
+    assert out[0].sum() == 0
+    assert out[2].sum() == 0
+
+
+def test_decode_batched_matches_single():
+    from posenet_tpu.decode_multi import decode_multiple_poses_batch
+
+    cfg = DecodeConfig(min_pose_score=0.25)
+    heads = [synth_heads(s) for s in (11, 12, 13)]
+    batch = [np.stack([h[i].transpose(1, 2, 0) for h in heads]) for i in range(4)]
+    out = decode_multiple_poses_batch(*[jnp.asarray(b) for b in batch], 16, cfg)
+    for b, h in enumerate(heads):
+        single = decode_multiple_poses(*h, 16, min_pose_score=0.25)
+        np.testing.assert_allclose(np.asarray(out.pose_scores[b]), single[0], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.keypoint_coords[b]), single[2], atol=1e-4)
+
+
+def test_single_pose_decode_runs():
+    scores, offsets, dfwd, dbwd = synth_heads(21)
+    kp_scores, kp_coords, root_id = decode_single_pose(
+        jnp.asarray(scores.transpose(1, 2, 0)),
+        jnp.asarray(offsets.transpose(1, 2, 0)),
+        jnp.asarray(dfwd.transpose(1, 2, 0)),
+        jnp.asarray(dbwd.transpose(1, 2, 0)), 16)
+    assert kp_scores.shape == (17,)
+    assert kp_coords.shape == (17, 2)
+    assert float(kp_scores[root_id]) > 0.5

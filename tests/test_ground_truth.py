@@ -1,0 +1,205 @@
+"""Ground-truth generation + metrics tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from posenet_tpu.constants import NUM_KEYPOINTS, PART_NAMES
+from posenet_tpu.training import ground_truth as gt
+from posenet_tpu.training import metrics as M
+
+from tests import reference_oracle
+
+
+def test_gaussian_heatmap_matches_reference_kernel():
+    """Vectorized Gaussian must equal the reference's cv2 kernel pasting."""
+    import cv2
+
+    kx, ky = 10.3, 20.7
+    ours = gt.gaussian_heatmaps(
+        np.array([[[kx, ky]] + [[0.0, 0.0]] * 16]))[0, 0]
+
+    # reference semantics (ground_truth_dataloop.py:111-137) re-derived:
+    k = 11
+    kernel = cv2.getGaussianKernel(k, k / 10)
+    kernel2d = np.outer(kernel, kernel.T)
+    expect = np.zeros((33, 33))
+    xmin, xmax = int(kx) - 5, int(kx) + 6
+    ymin, ymax = int(ky) - 5, int(ky) + 6
+    expect[ymin:ymax, xmin:xmax] = kernel2d
+    expect /= expect.max()
+
+    np.testing.assert_allclose(ours, expect, atol=1e-6)
+
+
+def test_gaussian_heatmap_zero_for_absent():
+    hm = gt.gaussian_heatmaps(np.zeros((1, 17, 2)))
+    assert hm.sum() == 0
+
+
+def test_keypoints_from_heatmaps_roundtrip():
+    kp = np.array([[[5.0, 9.0], [30.0, 2.0]] + [[12.0, 12.0]] * 15])
+    hm = gt.gaussian_heatmaps(kp)
+    rec = gt.keypoints_from_heatmaps(hm)
+    np.testing.assert_array_equal(rec[0, 0], [5, 9])
+    np.testing.assert_array_equal(rec[0, 1], [30, 2])
+
+
+def test_dataloop_parser(tmp_path):
+    ann = {
+        "metadata": {"system": {"height": 660, "width": 660}},
+        "annotations": [
+            {"type": "pose", "id": "p1"},
+            {"type": "point", "label": "Nose",
+             "metadata": {"system": {"parentId": "p1"}},
+             "coordinates": {"x": 330.0, "y": 330.0}},
+            {"type": "point", "label": "Left Shoulder",
+             "metadata": {"system": {"parentId": "p1"}},
+             "coordinates": {"x": 660.0, "y": 0.0}},
+            {"type": "pose", "id": "p2"},  # pose with no points -> dropped
+        ],
+    }
+    path = tmp_path / "img.json"
+    path.write_text(json.dumps(ann))
+    kp = gt.parse_dataloop_json(str(path))
+    assert kp.shape == (1, 17, 2)
+    np.testing.assert_allclose(kp[0, 0], [16.5, 16.5])       # nose scaled to 33 grid
+    np.testing.assert_allclose(kp[0, PART_NAMES.index("leftShoulder")], [33.0, 0.0])
+    np.testing.assert_allclose(kp[0, 1], [-1.0, -1.0])       # unannotated
+
+
+def test_roboflow_parser(tmp_path):
+    # class ids index the alphabetically sorted label list; prefix = kp index
+    sorted_names = sorted([f"{i}-{n}" for i, n in enumerate(PART_NAMES)] + ["17-person"])
+    nose_class = sorted_names.index("0-nose")
+    person_class = sorted_names.index("17-person")
+    path = tmp_path / "img.txt"
+    path.write_text(f"{nose_class} 0.5 0.25 0.1 0.1\n{person_class} 0.5 0.5 1 1\n")
+    kp = gt.parse_roboflow_txt(str(path))
+    assert kp.shape == (1, 17, 2)
+    np.testing.assert_allclose(kp[0, 0], [0.5 * 33, 0.25 * 33])
+    assert (kp[0, 1:] == 0).all()  # person box dropped, others absent
+
+
+def test_prepare_and_load_roundtrip(tmp_path):
+    import cv2
+
+    images = tmp_path / "images"
+    labels = tmp_path / "labels"
+    outdir = tmp_path / "keypoints_updated"
+    images.mkdir(); labels.mkdir()
+    cv2.imwrite(str(images / "a.jpg"),
+                np.zeros((100, 100, 3), np.uint8))
+    ann = {
+        "metadata": {"system": {"height": 100, "width": 100}},
+        "annotations": [
+            {"type": "pose", "id": "p1"},
+            {"type": "point", "label": "Nose",
+             "metadata": {"system": {"parentId": "p1"}},
+             "coordinates": {"x": 50.0, "y": 50.0}},
+        ],
+    }
+    (labels / "a.json").write_text(json.dumps(ann))
+
+    stems = gt.prepare_ground_truth_data(
+        str(images), str(labels), keypoints_updated_dir=str(outdir))
+    assert stems == ["a"]
+    kps, hms, offs = gt.load_ground_truth_data(stems, str(outdir))
+    assert kps.shape == (1, 15, 17, 2)
+    assert hms.shape == (1, 15, 17, 33, 33)
+    np.testing.assert_allclose(kps[0, 0, 0], [16.5, 16.5])
+    assert kps[0, 1, 0, 0] == -1          # pose padding
+    # offset vector = annotated - argmax cell
+    np.testing.assert_allclose(offs[0, 0, 0], [0.5, 0.5])
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+# ---------------------------------------------------------------------------
+
+def test_match_poses_identity():
+    rng = np.random.RandomState(0)
+    gts = rng.uniform(0, 100, (3, 17, 2))
+    perm = [2, 0, 1]
+    preds = gts[perm] + rng.uniform(-0.5, 0.5, (3, 17, 2))
+    pairs = dict(M.match_poses(preds, gts))
+    assert pairs == {0: 2, 1: 0, 2: 1}
+
+
+def test_oks_perfect_and_far():
+    gts = np.random.RandomState(1).uniform(10, 90, (2, 17, 2))
+    pairs = [(0, 0), (1, 1)]
+    assert M.calculate_oks(pairs, gts.copy(), gts) == pytest.approx(1.0)
+    far = gts + 1000.0
+    assert M.calculate_oks(pairs, far, gts) < 0.01
+
+
+def test_precision_recall_perfect():
+    gts = np.random.RandomState(2).uniform(10, 90, (2, 17, 2))
+    p, r = M.precision_recall(gts.copy(), gts, threshold=0.5)
+    assert p == pytest.approx(1.0)
+    assert r == pytest.approx(1.0)
+
+
+def test_precision_counts_fp_on_missing_gt():
+    gts = np.full((1, 17, 2), -1.0)
+    gts[0, 0] = [10.0, 10.0]
+    gts[0, 1] = [20.0, 20.0]
+    preds = np.full((1, 17, 2), 30.0)  # predicts everything
+    p, r = M.precision_recall(preds, gts, threshold=100.0)
+    # 2 TP (within generous threshold), 15 FP on unannotated keypoints
+    assert p == pytest.approx(2 / 17)
+    assert r == pytest.approx(1.0)
+
+
+def test_mAP_envelope():
+    # classic monotone case: AP of perfect PR curve is 1
+    p = np.ones(10)
+    r = np.linspace(0.1, 1.0, 10)
+    assert M.calculate_mAP(p, r) == pytest.approx(1.0)
+    # degenerate: zero precision everywhere
+    assert M.calculate_mAP(np.zeros(10), r) == pytest.approx(0.0)
+
+
+def test_dataset_and_mean_std(tmp_path):
+    import cv2
+
+    images = tmp_path / "img"
+    labels = tmp_path / "lab"
+    outdir = tmp_path / "kp"
+    images.mkdir(); labels.mkdir()
+    rng = np.random.RandomState(0)
+    for name in ("a", "b"):
+        cv2.imwrite(str(images / f"{name}.jpg"),
+                    rng.randint(0, 255, (64, 64, 3), dtype=np.uint8))
+        ann = {
+            "metadata": {"system": {"height": 64, "width": 64}},
+            "annotations": [
+                {"type": "pose", "id": "p1"},
+                {"type": "point", "label": "Nose",
+                 "metadata": {"system": {"parentId": "p1"}},
+                 "coordinates": {"x": 32.0, "y": 16.0}},
+            ],
+        }
+        (labels / f"{name}.json").write_text(json.dumps(ann))
+    gt.prepare_ground_truth_data(str(images), str(labels),
+                                 keypoints_updated_dir=str(outdir))
+
+    from posenet_tpu.training.dataset import PosenetDataset, get_dataset_mean_std
+
+    ds = PosenetDataset(str(images), str(outdir), image_size=65)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item['image'].shape == (65, 65, 3)
+    assert item['keypoints'].shape == (15, 17, 2)
+    # y-x order: annotation x=32*33/64=16.5, y=16*33/64=8.25 -> (y,x)
+    np.testing.assert_allclose(item['keypoints'][0, 0], [8.25, 16.5])
+
+    batches = list(ds.iter_batches(2, shuffle=False))
+    assert batches[0]['image'].shape == (2, 65, 65, 3)
+
+    mean, std = get_dataset_mean_std(ds)
+    assert mean.shape == (3,) and (np.abs(mean) <= 1).all()
+    assert (std > 0).all()

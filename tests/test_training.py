@@ -1,0 +1,138 @@
+"""Training loss + DP train step tests (SURVEY.md §4: multi-chip logic
+testable on CPU via device-count spoofing)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from posenet_tpu.config import ModelConfig, TrainConfig
+from posenet_tpu.models import mobilenet_v1
+from posenet_tpu.parallel import mesh as mesh_lib
+from posenet_tpu.training import train_step as ts
+from posenet_tpu.training.loss import (batched_loss, binary_disk_targets,
+                                       heatmap_offset_loss,
+                                       keypoint_validity,
+                                       offset_targets_and_mask)
+
+
+def test_keypoint_validity_sentinels():
+    kp = jnp.array([[[0., 0.], [-1., -1.], [0., -1.], [5., 0.], [3., 4.]]])
+    v = np.asarray(keypoint_validity(kp))[0]
+    # both coords sentinel -> invalid; any real coord -> valid
+    assert list(v) == [False, False, False, True, True]
+
+
+def test_binary_disk_targets_geometry():
+    kp = jnp.full((1, 17, 2), -1.0).at[0, 0].set(jnp.array([10., 12.]))
+    disks = np.asarray(binary_disk_targets(kp, 33, 33, radius=3))
+    assert disks.shape == (1, 17, 33, 33)
+    assert disks[0, 1:].sum() == 0            # invalid keypoints -> empty
+    d = disks[0, 0]
+    assert d[10, 12] == 1 and d[13, 12] == 1 and d[10, 15] == 1
+    assert d[14, 12] == 0                     # radius 3 boundary
+    # disk area: cells with d2 <= 9
+    yy, xx = np.mgrid[0:33, 0:33]
+    expect = ((yy - 10) ** 2 + (xx - 12) ** 2 <= 9).sum()
+    assert d.sum() == expect
+
+
+def test_offset_targets_point_to_keypoint():
+    kp = jnp.full((1, 17, 2), -1.0).at[0, 3].set(jnp.array([5., 7.]))
+    off, mask = offset_targets_and_mask(kp, 33, 33, output_stride=16)
+    off, mask = np.asarray(off), np.asarray(mask)
+    # offset at the keypoint's own cell is 0; one cell over is ±stride
+    np.testing.assert_allclose(off[0, 3, 5, 7], [0., 0.])
+    np.testing.assert_allclose(off[0, 3, 4, 7], [16., 0.])
+    np.testing.assert_allclose(off[0, 3, 5, 8], [0., -16.])
+    assert mask[0, 3, 5, 7] == 1 and mask[0, 3, 5, 10] == 1
+    assert mask[0, 3, 5, 11] == 0             # radius 3 in grid cells
+    assert mask[0, 2].sum() == 0              # invalid keypoint -> no mask
+
+
+def test_loss_decreases_with_correct_prediction():
+    """A prediction matching the target must score lower than a wrong one."""
+    h = w = 17
+    kp = jnp.full((2, 17, 2), -1.0).at[0].set(
+        jnp.asarray(np.random.RandomState(0).uniform(2, 14, (17, 2)), jnp.float32))
+    disks = binary_disk_targets(kp, h, w)[0]  # (17,H,W) for pose 0
+    good_logits = jnp.transpose((disks * 2 - 1) * 8.0, (1, 2, 0))
+    bad_logits = -good_logits
+    gt_off, _ = offset_targets_and_mask(kp, h, w, 16)
+    good_off = jnp.concatenate(
+        [jnp.transpose(gt_off[0, :, :, :, 0], (1, 2, 0)),
+         jnp.transpose(gt_off[0, :, :, :, 1], (1, 2, 0))], axis=-1)
+
+    good = heatmap_offset_loss(good_logits, good_off, kp, 16)
+    bad = heatmap_offset_loss(bad_logits, jnp.zeros_like(good_off), kp, 16)
+    assert float(good['loss']) < float(bad['loss'])
+    assert float(good['heatmap_loss']) < 0.01
+
+
+def test_train_step_heads_only_updates():
+    model_cfg = ModelConfig(model_id=50, output_stride=16)
+    train_cfg = TrainConfig(model_id=50, heads_only=True)
+    params = mobilenet_v1.init_params(jax.random.PRNGKey(0), model_cfg)
+    state, tx = ts.init_train_state(params, train_cfg)
+    step = ts.make_train_step(tx, model_cfg, train_cfg)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        'image': jnp.asarray(rng.uniform(-1, 1, (2, 33, 33, 3)), jnp.float32),
+        'keypoints': jnp.asarray(rng.uniform(0, 2, (2, 4, 17, 2)), jnp.float32),
+    }
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics['loss']))
+    # backbone frozen
+    b0_old = np.asarray(params['backbone'][0]['w'])
+    b0_new = np.asarray(new_state.params['backbone'][0]['w'])
+    np.testing.assert_array_equal(b0_old, b0_new)
+    # heads updated
+    h_old = np.asarray(params['heads']['heatmap']['w'])
+    h_new = np.asarray(new_state.params['heads']['heatmap']['w'])
+    assert np.abs(h_new - h_old).max() > 0
+    assert int(new_state.step) == 1
+
+
+def test_train_step_dp_matches_single_device():
+    """The 8-device DP step must produce the same update as single-device on
+    the same global batch (the collective is a mean-preserving all-reduce)."""
+    model_cfg = ModelConfig(model_id=50, output_stride=16)
+    train_cfg = TrainConfig(model_id=50)
+    params = mobilenet_v1.init_params(jax.random.PRNGKey(1), model_cfg)
+
+    rng = np.random.RandomState(1)
+    batch = {
+        'image': jnp.asarray(rng.uniform(-1, 1, (8, 33, 33, 3)), jnp.float32),
+        'keypoints': jnp.asarray(rng.uniform(0, 2, (8, 3, 17, 2)), jnp.float32),
+    }
+
+    state, tx = ts.init_train_state(params, train_cfg)
+    single_step = ts.make_train_step(tx, model_cfg, train_cfg)
+    s1, m1 = single_step(state, batch)
+
+    mesh = mesh_lib.make_mesh(8)
+    state_r = mesh_lib.replicate(state, mesh)
+    batch_r = mesh_lib.shard_batch(batch, mesh)
+    dp_step = ts.make_train_step(tx, model_cfg, train_cfg, mesh=mesh)
+    s8, m8 = dp_step(state_r, batch_r)
+
+    np.testing.assert_allclose(float(m1['loss']), float(m8['loss']), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert out.pose_scores.shape == (1, 10)

@@ -1,0 +1,89 @@
+"""Training CLI: heads-only fine-tuning on Dataloop/Roboflow ground truth.
+
+Flag parity with the reference CLI (/root/reference/train.py:44-52,979-1036):
+--model, --train_image_dir, --test_image_dir, --output_dir, --scale_factor,
+with GT prepared under ./keypoints_updated. Extras: --num_devices for data
+parallelism, --prepare_gt to run the ground-truth generator first,
+--checkpoint_dir / automatic resume (the reference never saves), --wandb to
+opt into wandb logging (the reference hard-requires it).
+"""
+
+import argparse
+
+import posenet_tpu  # noqa: F401  (registers the package)
+from posenet_tpu.config import TrainConfig
+from posenet_tpu.models import model_factory
+from posenet_tpu.parallel import mesh as mesh_lib
+from posenet_tpu.training.dataset import PosenetDataset
+from posenet_tpu.training.trainer import MetricLogger, train
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--model', type=int, default=101)
+    parser.add_argument('--train_image_dir', type=str, default='./images_train')
+    parser.add_argument('--test_image_dir', type=str, default='./images_test')
+    parser.add_argument('--output_dir', type=str, default='./output')
+    parser.add_argument('--scale_factor', type=float, default=1.0)
+    parser.add_argument('--output_stride', type=int, default=16)
+    parser.add_argument('--keypoint_dir', type=str, default='./keypoints_updated')
+    parser.add_argument('--checkpoint_dir', type=str, default='./_train_ckpt')
+    parser.add_argument('--batch_size', type=int, default=2)
+    parser.add_argument('--lr', type=float, default=1e-4)
+    parser.add_argument('--num_epochs', type=int, default=100)
+    parser.add_argument('--num_devices', type=int, default=0,
+                        help='data-parallel device count (0 = single device)')
+    parser.add_argument('--image_size', type=int, default=513)
+    parser.add_argument('--wandb', action='store_true')
+    parser.add_argument('--prepare_gt', type=str, default='',
+                        help='annotation dir; if set, run the ground-truth '
+                             'generator (dataloop JSON) before training')
+    parser.add_argument('--gt_format', type=str, default='dataloop',
+                        choices=['dataloop', 'roboflow'])
+    parser.add_argument('--allow_random_init', action='store_true')
+    parser.add_argument('--no_pose_metrics', action='store_true')
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    if args.prepare_gt:
+        from posenet_tpu.training.ground_truth import prepare_ground_truth_data
+        prepare_ground_truth_data(
+            args.train_image_dir, args.prepare_gt,
+            keypoints_updated_dir=args.keypoint_dir,
+            annotation_format=args.gt_format)
+
+    cfg = TrainConfig(
+        model_id=args.model, output_stride=args.output_stride,
+        batch_size=args.batch_size, learning_rate=args.lr,
+        num_epochs=args.num_epochs, checkpoint_dir=args.checkpoint_dir,
+        keypoint_dir=args.keypoint_dir,
+        num_devices=args.num_devices or None)
+
+    model = model_factory.load_model(
+        args.model, output_stride=args.output_stride,
+        allow_random_init=args.allow_random_init)
+
+    train_ds = PosenetDataset(args.train_image_dir, args.keypoint_dir,
+                              image_size=args.image_size,
+                              output_stride=args.output_stride,
+                              scale_factor=args.scale_factor)
+    try:
+        test_ds = PosenetDataset(args.test_image_dir, args.keypoint_dir,
+                                 image_size=args.image_size,
+                                 output_stride=args.output_stride,
+                                 scale_factor=args.scale_factor)
+    except FileNotFoundError:
+        test_ds = None
+
+    mesh = mesh_lib.make_mesh(cfg.num_devices) if cfg.num_devices else None
+    logger = MetricLogger(use_wandb=args.wandb)
+    train(train_ds, test_ds, cfg, logger=logger, mesh=mesh,
+          params=model.params,
+          eval_pose_metrics=not args.no_pose_metrics)
+
+
+if __name__ == '__main__':
+    main()
