@@ -210,8 +210,25 @@ def decode_single(heatmap: jax.Array, offsets: jax.Array, dfwd: jax.Array,
             jnp.zeros((P, NUM_KEYPOINTS, 2), jnp.float32),
             jnp.zeros((P, NUM_KEYPOINTS, 2), jnp.float32),
             jnp.int32(0))
-    pose_scores, kp_scores, kp_coords, pose_offsets, _ = lax.fori_loop(
-        0, cfg.max_candidates, body, init)
+
+    # Early-exit while_loop: candidates are score-sorted with a -1 sentinel,
+    # so the first sentinel ends the stream, and a full pose buffer ends the
+    # scan (the reference `break`s the same way, decode_multi.py:138-139).
+    # Real frames yield far fewer than max_candidates live candidates, so
+    # this trims the sequential tail to the actual work.
+    def cond(carry):
+        i, state = carry
+        count = state[4]
+        in_range = i < cfg.max_candidates
+        live = cand_scores[jnp.minimum(i, cfg.max_candidates - 1)] > -0.5
+        return in_range & live & (count < P)
+
+    def wbody(carry):
+        i, state = carry
+        return i + 1, body(i, state)
+
+    _, (pose_scores, kp_scores, kp_coords, pose_offsets, _) = lax.while_loop(
+        cond, wbody, (jnp.int32(0), init))
     return DecodedPoses(pose_scores, kp_scores, kp_coords, pose_offsets)
 
 

@@ -199,7 +199,11 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Dict[str, Any]:
 _DN = ('NHWC', 'HWIO', 'NHWC')
 
 
-def _conv2d(x, w, b, *, stride=1, dilation=1, groups=1, precision):
+def _conv2d(x, w, b, *, stride=1, dilation=1, groups=1, precision,
+            accum_dtype=None):
+    """Conv + bias. `accum_dtype` controls the conv output dtype: float32
+    for parity/heads; None keeps the input dtype (bf16 end-to-end in the
+    production path, halving HBM traffic between layers)."""
     k = w.shape[0]
     pad = torch_same_padding(k, stride, dilation)
     y = lax.conv_general_dilated(
@@ -210,7 +214,7 @@ def _conv2d(x, w, b, *, stride=1, dilation=1, groups=1, precision):
         dimension_numbers=_DN,
         feature_group_count=groups,
         precision=precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=accum_dtype or x.dtype,
     )
     return y + b.astype(y.dtype)
 
@@ -235,27 +239,38 @@ def forward(params: Dict[str, Any], x: jax.Array, cfg: ModelConfig,
       R = (H-1)/output_stride + 1 (reference mobilenet_v1.py:156-162).
     """
     plan = stride_plan(cfg.model_id, cfg.output_stride)
+    # In float32 (parity) mode, accumulate in f32; in bf16 production mode
+    # keep everything bf16 so inter-layer activations cost half the HBM
+    # bandwidth (the quality headroom of ReLU6-bounded activations makes
+    # bf16 rounding negligible for this model).
+    accum = jnp.float32 if cfg.compute_dtype == jnp.float32 else None
     x = x.astype(cfg.compute_dtype)
     for layer, p in zip(plan, params['backbone']):
         if layer['conv_type'] == 'input':
             x = _relu6(_conv2d(x, p['w'], p['b'], stride=layer['stride'],
-                               dilation=layer['rate'], precision=precision))
+                               dilation=layer['rate'], precision=precision,
+                               accum_dtype=accum))
         else:
             c_in = p['dw_w'].shape[-1]
             x = _relu6(_conv2d(x, p['dw_w'], p['dw_b'], stride=layer['stride'],
                                dilation=layer['rate'], groups=c_in,
-                               precision=precision))
-            x = _relu6(_conv2d(x, p['pw_w'], p['pw_b'], precision=precision))
+                               precision=precision, accum_dtype=accum))
+            x = _relu6(_conv2d(x, p['pw_w'], p['pw_b'], precision=precision,
+                               accum_dtype=accum))
         x = x.astype(cfg.compute_dtype)
 
+    # Heads always accumulate in f32: offsets/displacements are regressed
+    # pixel values consumed by the decoder's coordinate math.
     hp = params['heads']
     heatmap_logits = _conv2d(x, hp['heatmap']['w'], hp['heatmap']['b'],
-                             precision=precision).astype(jnp.float32)
-    offset = _conv2d(x, hp['offset']['w'], hp['offset']['b'], precision=precision)
+                             precision=precision,
+                             accum_dtype=jnp.float32).astype(jnp.float32)
+    offset = _conv2d(x, hp['offset']['w'], hp['offset']['b'], precision=precision,
+                     accum_dtype=jnp.float32)
     disp_fwd = _conv2d(x, hp['displacement_fwd']['w'], hp['displacement_fwd']['b'],
-                       precision=precision)
+                       precision=precision, accum_dtype=jnp.float32)
     disp_bwd = _conv2d(x, hp['displacement_bwd']['w'], hp['displacement_bwd']['b'],
-                       precision=precision)
+                       precision=precision, accum_dtype=jnp.float32)
     return {
         'heatmap': jax.nn.sigmoid(heatmap_logits),
         'heatmap_logits': heatmap_logits,
