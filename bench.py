@@ -27,7 +27,9 @@ def main():
     cfg = ModelConfig(model_id=101, output_stride=16,
                       compute_dtype=jnp.bfloat16)
     decode_cfg = DecodeConfig(min_pose_score=0.25)
-    params = mobilenet_v1.init_params(jax.random.PRNGKey(0), cfg)
+    params = mobilenet_v1.cast_params(
+        mobilenet_v1.init_params(jax.random.PRNGKey(0), cfg),
+        cfg.compute_dtype)
 
     rng = np.random.RandomState(0)
     frames = jnp.asarray(

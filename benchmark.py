@@ -32,6 +32,9 @@ def parse_args():
                              'batched fused pipeline')
     parser.add_argument('--image_size', type=int, default=513)
     parser.add_argument('--allow_random_init', action='store_true')
+    parser.add_argument('--profile', type=str, default='',
+                        help='capture a jax.profiler device trace to this '
+                             'directory and print a per-op time report')
     return parser.parse_args()
 
 
@@ -71,10 +74,18 @@ def main():
         pipe = PoseNetPipeline(model, DecodeConfig(min_pose_score=0.25))
         pipe.warmup((size, size), args.batch_size)
         n_batches = max(1, num_images // args.batch_size)
+
+        if args.profile:
+            from posenet_tpu.profiling import device_time_report, trace
+            with trace(args.profile):
+                out = pipe(frames)
+                np.asarray(out.pose_scores)
+            print(device_time_report(args.profile))
+
         start = time.time()
         for _ in range(n_batches):
             out = pipe(frames)
-        jax.block_until_ready(out)
+        np.asarray(out.pose_scores)  # execution barrier (see bench.py)
         elapsed = time.time() - start
         n = n_batches * args.batch_size
         print('Average FPS:', n / elapsed)

@@ -68,17 +68,24 @@ def split_yx(packed: jax.Array, n: int) -> jax.Array:
     return jnp.stack([packed[..., :n], packed[..., n:2 * n]], axis=-1)
 
 
-def _traverse(coord, scores_map, offsets_yx, disp_map, edge_id, target_kp,
-              stride, h, w):
-    """One edge hop: displace from `coord` along `disp_map[edge_id]`, then
-    refine at the landing cell (reference decode.py:9-63)."""
+def _traverse(coord, scores_map, off_y, off_x, disp_y, disp_x, edge_id,
+              target_kp, stride, h, w):
+    """One edge hop: displace from `coord` along edge `edge_id`, then refine
+    at the landing cell (reference decode.py:9-63).
+
+    All field maps arrive as separate y/x planes ((H, W, n) each) — a
+    stacked (..., 2) coordinate axis forces XLA into a (2,128)-tiled layout
+    that wastes 126 of 128 vector lanes on every repack (profiled at
+    ~10 ms/batch before this split)."""
     hw_max = jnp.array([h - 1, w - 1], jnp.float32)
     src_idx = jnp.clip(jnp.round(coord / stride), 0.0, hw_max).astype(jnp.int32)
-    disp = disp_map[src_idx[0], src_idx[1], edge_id]
-    displaced = coord + disp
+    dy = disp_y[src_idx[0], src_idx[1], edge_id]
+    dx = disp_x[src_idx[0], src_idx[1], edge_id]
+    displaced = coord + jnp.stack([dy, dx])
     tgt_idx = jnp.clip(jnp.round(displaced / stride), 0.0, hw_max).astype(jnp.int32)
     score = scores_map[tgt_idx[0], tgt_idx[1], target_kp]
-    offset = offsets_yx[tgt_idx[0], tgt_idx[1], target_kp]
+    offset = jnp.stack([off_y[tgt_idx[0], tgt_idx[1], target_kp],
+                        off_x[tgt_idx[0], tgt_idx[1], target_kp]])
     image_coord = tgt_idx.astype(jnp.float32) * stride + offset
     return score, image_coord, offset
 
@@ -87,13 +94,29 @@ def decode_pose(root_score, root_id, root_image_coord, scores_map, offsets_yx,
                 dfwd_yx, dbwd_yx, output_stride: int):
     """Grow a full 17-keypoint pose from one root candidate.
 
+    Convenience entry point taking stacked (H, W, n, 2) field maps (the
+    reference layout, decode_multi.py:89-97); the compute runs on split
+    y/x planes via `_decode_pose_planes`.
+
+    Returns (keypoint_scores (17,), keypoint_coords (17,2), offsets (17,2)).
+    """
+    return _decode_pose_planes(
+        root_score, root_id, root_image_coord, scores_map,
+        offsets_yx[..., 0], offsets_yx[..., 1],
+        dfwd_yx[..., 0], dfwd_yx[..., 1],
+        dbwd_yx[..., 0], dbwd_yx[..., 1], output_stride)
+
+
+def _decode_pose_planes(root_score, root_id, root_image_coord, scores_map,
+                        off_y, off_x, dfwd_y, dfwd_x, dbwd_y, dbwd_x,
+                        output_stride: int):
+    """Tree walk on split y/x field planes.
+
     Walks the 16-edge tree in reversed order with backward displacements,
     then forward order with forward displacements; a keypoint is only filled
     if its source is filled (score > 0) and it is still empty (score == 0) —
     exact reference gating (decode.py:152-178). The edge loop is unrolled at
     trace time (static 32 steps); under vmap each step is one K-wide gather.
-
-    Returns (keypoint_scores (17,), keypoint_coords (17,2), offsets (17,2)).
     """
     h, w, _ = scores_map.shape
     stride = jnp.float32(output_stride)
@@ -104,11 +127,11 @@ def decode_pose(root_score, root_id, root_image_coord, scores_map, offsets_yx,
     kp_scores = kp_scores.at[root_id].set(root_score)
     kp_coords = kp_coords.at[root_id].set(root_image_coord)
 
-    def step(carry, edge_id, source_kp, target_kp, disp_map):
+    def step(carry, edge_id, source_kp, target_kp, disp_y, disp_x):
         kp_scores, kp_coords, kp_offsets = carry
         fill = (kp_scores[source_kp] > 0.0) & (kp_scores[target_kp] == 0.0)
         score, coord, offset = _traverse(
-            kp_coords[source_kp], scores_map, offsets_yx, disp_map,
+            kp_coords[source_kp], scores_map, off_y, off_x, disp_y, disp_x,
             edge_id, target_kp, stride, h, w)
         kp_scores = kp_scores.at[target_kp].set(
             jnp.where(fill, score, kp_scores[target_kp]))
@@ -123,12 +146,12 @@ def decode_pose(root_score, root_id, root_image_coord, scores_map, offsets_yx,
     for edge in reversed(range(NUM_EDGES)):
         parent, child = int(EDGES[edge, 0]), int(EDGES[edge, 1])
         carry = step(carry, edge, source_kp=child, target_kp=parent,
-                     disp_map=dbwd_yx)
+                     disp_y=dbwd_y, disp_x=dbwd_x)
     # Forward pass: parent -> child in edge order.
     for edge in range(NUM_EDGES):
         parent, child = int(EDGES[edge, 0]), int(EDGES[edge, 1])
         carry = step(carry, edge, source_kp=parent, target_kp=child,
-                     disp_map=dfwd_yx)
+                     disp_y=dfwd_y, disp_x=dfwd_x)
     return carry
 
 
@@ -143,9 +166,12 @@ def decode_single(heatmap: jax.Array, offsets: jax.Array, dfwd: jax.Array,
       dfwd/dbwd: (H, W, 32) packed [y||x].
     """
     h, w, _ = heatmap.shape
-    offsets_yx = split_yx(offsets, NUM_KEYPOINTS)   # (H, W, 17, 2)
-    dfwd_yx = split_yx(dfwd, NUM_EDGES)             # (H, W, 16, 2)
-    dbwd_yx = split_yx(dbwd, NUM_EDGES)
+    # y/x field planes as zero-copy channel slices (see _traverse docstring
+    # for why the stacked (..., 2) layout is avoided). Channel packing is
+    # [all-y || all-x] (reference decode_multi.py:89-97).
+    off_y, off_x = offsets[..., :NUM_KEYPOINTS], offsets[..., NUM_KEYPOINTS:2 * NUM_KEYPOINTS]
+    dfwd_y, dfwd_x = dfwd[..., :NUM_EDGES], dfwd[..., NUM_EDGES:2 * NUM_EDGES]
+    dbwd_y, dbwd_x = dbwd[..., :NUM_EDGES], dbwd[..., NUM_EDGES:2 * NUM_EDGES]
 
     # Part selection: local-max NMS + global descending top-K.
     mask = local_max_mask(heatmap, cfg.score_threshold, LOCAL_MAXIMUM_RADIUS)
@@ -154,15 +180,19 @@ def decode_single(heatmap: jax.Array, offsets: jax.Array, dfwd: jax.Array,
 
     # Root image coords: cell*stride + offset at the root cell
     # (decode_multi.py:109).
-    root_offsets = offsets_yx[cand_y, cand_x, cand_kp]          # (K, 2)
+    root_offsets = jnp.stack([off_y[cand_y, cand_x, cand_kp],
+                              off_x[cand_y, cand_x, cand_kp]], -1)  # (K, 2)
     cand_cell = jnp.stack([cand_y, cand_x], -1).astype(jnp.float32)
     root_coords = cand_cell * output_stride + root_offsets      # (K, 2)
 
-    # Decode ALL candidate poses in parallel — the traversal is independent
-    # of greedy state.
+    # Decode ALL candidate poses in parallel (vmap over the candidate
+    # axis) — the traversal is independent of greedy state, so the
+    # reference's per-pose sequential walk (decode_multi.py:115-118)
+    # becomes K simultaneous walks.
     all_scores, all_coords, all_offsets = jax.vmap(
-        lambda s, k, c: decode_pose(s, k, c, heatmap, offsets_yx,
-                                    dfwd_yx, dbwd_yx, output_stride)
+        lambda s, k, c: _decode_pose_planes(
+            s, k, c, heatmap, off_y, off_x, dfwd_y, dfwd_x, dbwd_y, dbwd_x,
+            output_stride)
     )(cand_scores, cand_kp, root_coords)
     # all_scores (K, 17); all_coords (K, 17, 2); all_offsets (K, 17, 2)
 

@@ -301,3 +301,20 @@ def backbone_features(params, x, cfg: ModelConfig, precision=None):
 @functools.partial(jax.jit, static_argnames=('cfg', 'precision'))
 def forward_jit(params, x, cfg: ModelConfig, precision=None):
     return forward(params, x, cfg, precision=precision)
+
+
+def cast_params(params: Dict[str, Any], dtype) -> Dict[str, Any]:
+    """Cast conv kernels to `dtype` (biases stay float32: they add into the
+    float32/accum epilogue). Pre-casting once at load time removes the
+    per-call f32->bf16 weight conversions and the f32 weight DMA traffic
+    the profiler shows in the production path."""
+    kernel_keys = {'w', 'dw_w', 'pw_w'}
+
+    def cast_layer(layer):
+        return {k: (jnp.asarray(v, dtype) if k in kernel_keys else jnp.asarray(v))
+                for k, v in layer.items()}
+
+    return {
+        'backbone': [cast_layer(l) for l in params['backbone']],
+        'heads': {name: cast_layer(p) for name, p in params['heads'].items()},
+    }

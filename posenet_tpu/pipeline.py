@@ -57,6 +57,12 @@ class PoseNetPipeline:
         self.model = model
         self.decode_cfg = decode_cfg
         self.mesh = mesh
+        # Pre-cast conv kernels to the compute dtype once, so the compiled
+        # program reads bf16 weights from HBM instead of converting f32
+        # every call.
+        model = PoseNet(
+            mobilenet_v1.cast_params(model.params, model.cfg.compute_dtype),
+            model.cfg)
         if mesh is not None:
             data_sharding = jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec('data'))

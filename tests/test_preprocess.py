@@ -1,0 +1,148 @@
+"""Preprocessing + drawing + native library tests."""
+
+import numpy as np
+import pytest
+
+from posenet_tpu.preprocess import (preprocess_on_device, process_input,
+                                    read_imgfile, valid_resolution)
+
+from tests import reference_oracle
+
+
+def test_valid_resolution():
+    # (d // s) * s + 1 rule (reference utils.py:7-10)
+    assert valid_resolution(1280, 720, 16) == (1281, 721)
+    assert valid_resolution(513, 513, 16) == (513, 513)
+    assert valid_resolution(500, 500, 16) == (497, 497)
+    assert valid_resolution(640, 480, 8) == (641, 481)
+
+
+def test_process_input_contract():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (720, 1280, 3), dtype=np.uint8)
+    inp, src, scale = process_input(img, scale_factor=1.0, output_stride=16)
+    assert inp.shape == (1, 3, 721, 1281)
+    assert inp.dtype == np.float32
+    assert inp.min() >= -1.0 and inp.max() <= 1.0
+    assert src is img
+    np.testing.assert_allclose(scale, [720 / 721, 1280 / 1281])
+
+
+@pytest.mark.skipif(not reference_oracle.has_reference(), reason="reference unavailable")
+def test_process_input_matches_reference():
+    reference_oracle._import_reference()
+    from posenet import utils as ref_utils
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (480, 640, 3), dtype=np.uint8)
+    ours = process_input(img.copy(), scale_factor=0.7125, output_stride=16)
+    theirs = ref_utils._process_input(img.copy(), scale_factor=0.7125,
+                                      output_stride=16)
+    np.testing.assert_array_equal(ours[0], theirs[0])
+    np.testing.assert_allclose(ours[2], theirs[2])
+
+
+def test_read_imgfile(tmp_path):
+    import cv2
+
+    img = np.random.RandomState(2).randint(0, 255, (100, 160, 3), dtype=np.uint8)
+    path = str(tmp_path / "x.jpg")
+    cv2.imwrite(path, img)
+    inp, src, scale = read_imgfile(path, 1.0, 16)
+    assert inp.shape == (1, 3, 97, 161)
+    with pytest.raises(IOError):
+        read_imgfile(str(tmp_path / "missing.jpg"))
+
+
+def test_preprocess_on_device():
+    rng = np.random.RandomState(3)
+    frame = rng.randint(0, 255, (100, 160, 3), dtype=np.uint8)
+    out = np.asarray(preprocess_on_device(frame, (65, 65)))
+    assert out.shape == (1, 65, 65, 3)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    # BGR->RGB flip: device output channel 0 comes from input channel 2
+    same_size = np.asarray(preprocess_on_device(frame, (100, 160)))[0]
+    expect = frame[..., ::-1].astype(np.float32) * (2 / 255) - 1
+    np.testing.assert_allclose(same_size, expect, atol=1e-5)
+
+
+def test_native_preprocess_matches_cv2():
+    import cv2
+
+    from posenet_tpu import native_preprocess as npp
+
+    if not npp.native_available():
+        pytest.skip("native library not built (make -C native)")
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 255, (240, 320, 3), dtype=np.uint8)
+    ours = npp.resize_bilinear(img, (97, 161))
+    ref = cv2.resize(img, (161, 97), interpolation=cv2.INTER_LINEAR)
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+    batch = npp.resize_batch([img, img[:120, :160]], (65, 65))
+    assert batch.shape == (2, 65, 65, 3)
+    single = npp.resize_bilinear(img, (65, 65), swap_rb=True)
+    np.testing.assert_array_equal(batch[0], single)
+
+    norm = npp.resize_normalize(img, (65, 65))
+    np.testing.assert_allclose(
+        norm, single.astype(np.float32) * (2 / 255) - 1, atol=1e-6)
+
+
+def test_draw_functions():
+    from posenet_tpu.draw import (draw_keypoints, draw_skel_and_kp,
+                                  draw_skeleton, get_adjacent_keypoints)
+
+    img = np.zeros((100, 100, 3), np.uint8)
+    pose_scores = np.array([0.9, 0.0])
+    kp_scores = np.full((2, 17), 0.8)
+    kp_coords = np.random.RandomState(5).uniform(10, 90, (2, 17, 2))
+
+    adj = get_adjacent_keypoints(kp_scores[0], kp_coords[0], 0.5)
+    assert len(adj) == 12  # all 12 skeleton edges above confidence
+
+    out = draw_skel_and_kp(img.copy(), pose_scores, kp_scores, kp_coords,
+                           0.5, 0.5)
+    assert out.shape == img.shape
+    assert out.sum() > 0   # something was drawn
+
+    out2 = draw_keypoints(img.copy(), pose_scores, kp_scores, kp_coords, 0.5, 0.5)
+    out3 = draw_skeleton(img.copy(), pose_scores, kp_scores, kp_coords, 0.5, 0.5)
+    assert out2.sum() > 0 and out3.sum() > 0
+
+
+def test_pipeline_end_to_end():
+    import jax
+
+    from posenet_tpu.config import DecodeConfig
+    from posenet_tpu.models import load_model
+    from posenet_tpu.pipeline import PoseNetPipeline
+
+    model = load_model(50, output_stride=16, allow_random_init=True)
+    pipe = PoseNetPipeline(model, DecodeConfig(min_pose_score=0.0,
+                                               score_threshold=0.3,
+                                               max_candidates=64))
+    frames = np.random.RandomState(6).randint(
+        0, 255, (2, 65, 65, 3), dtype=np.uint8)
+    out = pipe(frames)
+    assert out.pose_scores.shape == (2, 10)
+    assert out.keypoint_coords.shape == (2, 10, 17, 2)
+    # coordinates within the 65x65 image bounds (+offset slack)
+    coords = np.asarray(out.keypoint_coords)
+    assert np.isfinite(coords).all()
+
+
+def test_pipeline_with_mesh():
+    import jax
+
+    from posenet_tpu.config import DecodeConfig
+    from posenet_tpu.models import load_model
+    from posenet_tpu.parallel.mesh import make_mesh
+    from posenet_tpu.pipeline import PoseNetPipeline
+
+    mesh = make_mesh(8)
+    model = load_model(50, output_stride=16, allow_random_init=True)
+    pipe = PoseNetPipeline(model, DecodeConfig(max_candidates=32), mesh=mesh)
+    frames = np.zeros((8, 65, 65, 3), np.uint8)
+    out = pipe(frames)
+    assert out.pose_scores.shape == (8, 10)
