@@ -16,13 +16,15 @@ import numpy as np
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     import jax.numpy as jnp
 
     from posenet_tpu.config import DecodeConfig, ModelConfig
     from posenet_tpu.models import mobilenet_v1
     from posenet_tpu.pipeline import infer_jit
 
-    batch = 32
+    batch = 128
     size = 513
     cfg = ModelConfig(model_id=101, output_stride=16,
                       compute_dtype=jnp.bfloat16)
@@ -31,9 +33,11 @@ def main():
         mobilenet_v1.init_params(jax.random.PRNGKey(0), cfg),
         cfg.compute_dtype)
 
-    rng = np.random.RandomState(0)
-    frames = jnp.asarray(
-        rng.randint(0, 255, size=(batch, size, size, 3), dtype=np.uint8))
+    # Generate frames on device: a host->device upload of 100MB uint8 over
+    # a tunneled connection can dominate the run.
+    frames = (jax.random.uniform(jax.random.PRNGKey(0),
+                                 (batch, size, size, 3)) * 255).astype(jnp.uint8)
+    jax.block_until_ready(frames)
 
     def barrier(out):
         # Force a host round-trip on a tiny output: the only reliable
@@ -65,7 +69,7 @@ def main():
 
     baseline = 250.0  # reference README.md:12 midpoint (forward-only, GPU)
     print(json.dumps({
-        "metric": "img/s/chip 513x513 m101 s16 fused forward+decode (batch=32, bf16)",
+        "metric": "img/s/chip 513x513 m101 s16 fused forward+decode (batch=128, bf16)",
         "value": round(imgs_per_s, 1),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_s / baseline, 2),

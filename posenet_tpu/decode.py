@@ -68,24 +68,27 @@ def split_yx(packed: jax.Array, n: int) -> jax.Array:
     return jnp.stack([packed[..., :n], packed[..., n:2 * n]], axis=-1)
 
 
-def _traverse(coord, scores_map, off_y, off_x, disp_y, disp_x, edge_id,
-              target_kp, stride, h, w):
+def _traverse(coord, sov_table, disp_table, edge_id, target_kp, stride, h, w):
     """One edge hop: displace from `coord` along edge `edge_id`, then refine
     at the landing cell (reference decode.py:9-63).
 
-    All field maps arrive as separate y/x planes ((H, W, n) each) — a
-    stacked (..., 2) coordinate axis forces XLA into a (2,128)-tiled layout
-    that wastes 126 of 128 vector lanes on every repack (profiled at
-    ~10 ms/batch before this split)."""
+    Exactly TWO dynamic gathers, both contiguous row fetches: the
+    displacement pair from `disp_table` (H*W, 32 = [y-block || x-block])
+    at the source cell, and score+offset from `sov_table`
+    (H*W, 51 = [scores || off-y || off-x]) at the target cell. The
+    edge/keypoint channel is static per step, so channel extraction is a
+    free static slice. (Per-index gather overhead dominates on TPU —
+    fetching packed rows amortizes it; the unpacked form cost ~6 gathers
+    per step and ~46 ms/batch128.)"""
     hw_max = jnp.array([h - 1, w - 1], jnp.float32)
     src_idx = jnp.clip(jnp.round(coord / stride), 0.0, hw_max).astype(jnp.int32)
-    dy = disp_y[src_idx[0], src_idx[1], edge_id]
-    dx = disp_x[src_idx[0], src_idx[1], edge_id]
-    displaced = coord + jnp.stack([dy, dx])
+    drow = disp_table[src_idx[0] * w + src_idx[1]]              # (32,)
+    displaced = coord + jnp.stack([drow[edge_id], drow[NUM_EDGES + edge_id]])
     tgt_idx = jnp.clip(jnp.round(displaced / stride), 0.0, hw_max).astype(jnp.int32)
-    score = scores_map[tgt_idx[0], tgt_idx[1], target_kp]
-    offset = jnp.stack([off_y[tgt_idx[0], tgt_idx[1], target_kp],
-                        off_x[tgt_idx[0], tgt_idx[1], target_kp]])
+    trow = sov_table[tgt_idx[0] * w + tgt_idx[1]]               # (51,)
+    score = trow[target_kp]
+    offset = jnp.stack([trow[NUM_KEYPOINTS + target_kp],
+                        trow[2 * NUM_KEYPOINTS + target_kp]])
     image_coord = tgt_idx.astype(jnp.float32) * stride + offset
     return score, image_coord, offset
 
@@ -95,22 +98,30 @@ def decode_pose(root_score, root_id, root_image_coord, scores_map, offsets_yx,
     """Grow a full 17-keypoint pose from one root candidate.
 
     Convenience entry point taking stacked (H, W, n, 2) field maps (the
-    reference layout, decode_multi.py:89-97); the compute runs on split
-    y/x planes via `_decode_pose_planes`.
+    reference layout, decode_multi.py:89-97); the compute runs on packed
+    row tables via `_decode_pose_tables`.
 
     Returns (keypoint_scores (17,), keypoint_coords (17,2), offsets (17,2)).
     """
-    return _decode_pose_planes(
-        root_score, root_id, root_image_coord, scores_map,
-        offsets_yx[..., 0], offsets_yx[..., 1],
-        dfwd_yx[..., 0], dfwd_yx[..., 1],
-        dbwd_yx[..., 0], dbwd_yx[..., 1], output_stride)
+    h, w, _ = scores_map.shape
+    sov_table = jnp.concatenate(
+        [scores_map.reshape(h * w, NUM_KEYPOINTS),
+         offsets_yx[..., 0].reshape(h * w, NUM_KEYPOINTS),
+         offsets_yx[..., 1].reshape(h * w, NUM_KEYPOINTS)], axis=1)
+    dfwd_table = jnp.concatenate(
+        [dfwd_yx[..., 0].reshape(h * w, NUM_EDGES),
+         dfwd_yx[..., 1].reshape(h * w, NUM_EDGES)], axis=1)
+    dbwd_table = jnp.concatenate(
+        [dbwd_yx[..., 0].reshape(h * w, NUM_EDGES),
+         dbwd_yx[..., 1].reshape(h * w, NUM_EDGES)], axis=1)
+    return _decode_pose_tables(
+        root_score, root_id, root_image_coord, sov_table, dfwd_table,
+        dbwd_table, h, w, output_stride)
 
 
-def _decode_pose_planes(root_score, root_id, root_image_coord, scores_map,
-                        off_y, off_x, dfwd_y, dfwd_x, dbwd_y, dbwd_x,
-                        output_stride: int):
-    """Tree walk on split y/x field planes.
+def _decode_pose_tables(root_score, root_id, root_image_coord, sov_table,
+                        dfwd_table, dbwd_table, h, w, output_stride: int):
+    """Tree walk on packed row tables (see `_traverse`).
 
     Walks the 16-edge tree in reversed order with backward displacements,
     then forward order with forward displacements; a keypoint is only filled
@@ -118,7 +129,6 @@ def _decode_pose_planes(root_score, root_id, root_image_coord, scores_map,
     exact reference gating (decode.py:152-178). The edge loop is unrolled at
     trace time (static 32 steps); under vmap each step is one K-wide gather.
     """
-    h, w, _ = scores_map.shape
     stride = jnp.float32(output_stride)
 
     kp_scores = jnp.zeros((NUM_KEYPOINTS,), jnp.float32)
@@ -127,12 +137,12 @@ def _decode_pose_planes(root_score, root_id, root_image_coord, scores_map,
     kp_scores = kp_scores.at[root_id].set(root_score)
     kp_coords = kp_coords.at[root_id].set(root_image_coord)
 
-    def step(carry, edge_id, source_kp, target_kp, disp_y, disp_x):
+    def step(carry, edge_id, source_kp, target_kp, disp_table):
         kp_scores, kp_coords, kp_offsets = carry
         fill = (kp_scores[source_kp] > 0.0) & (kp_scores[target_kp] == 0.0)
         score, coord, offset = _traverse(
-            kp_coords[source_kp], scores_map, off_y, off_x, disp_y, disp_x,
-            edge_id, target_kp, stride, h, w)
+            kp_coords[source_kp], sov_table, disp_table, edge_id, target_kp,
+            stride, h, w)
         kp_scores = kp_scores.at[target_kp].set(
             jnp.where(fill, score, kp_scores[target_kp]))
         kp_coords = kp_coords.at[target_kp].set(
@@ -146,12 +156,12 @@ def _decode_pose_planes(root_score, root_id, root_image_coord, scores_map,
     for edge in reversed(range(NUM_EDGES)):
         parent, child = int(EDGES[edge, 0]), int(EDGES[edge, 1])
         carry = step(carry, edge, source_kp=child, target_kp=parent,
-                     disp_y=dbwd_y, disp_x=dbwd_x)
+                     disp_table=dbwd_table)
     # Forward pass: parent -> child in edge order.
     for edge in range(NUM_EDGES):
         parent, child = int(EDGES[edge, 0]), int(EDGES[edge, 1])
         carry = step(carry, edge, source_kp=parent, target_kp=child,
-                     disp_y=dfwd_y, disp_x=dfwd_x)
+                     disp_table=dfwd_table)
     return carry
 
 
@@ -166,12 +176,17 @@ def decode_single(heatmap: jax.Array, offsets: jax.Array, dfwd: jax.Array,
       dfwd/dbwd: (H, W, 32) packed [y||x].
     """
     h, w, _ = heatmap.shape
-    # y/x field planes as zero-copy channel slices (see _traverse docstring
-    # for why the stacked (..., 2) layout is avoided). Channel packing is
-    # [all-y || all-x] (reference decode_multi.py:89-97).
-    off_y, off_x = offsets[..., :NUM_KEYPOINTS], offsets[..., NUM_KEYPOINTS:2 * NUM_KEYPOINTS]
-    dfwd_y, dfwd_x = dfwd[..., :NUM_EDGES], dfwd[..., NUM_EDGES:2 * NUM_EDGES]
-    dbwd_y, dbwd_x = dbwd[..., :NUM_EDGES], dbwd[..., NUM_EDGES:2 * NUM_EDGES]
+    # Packed row tables (one contiguous row fetch per traversal hop — see
+    # _traverse). Channel packing is [all-y || all-x] within each field
+    # (reference decode_multi.py:89-97), so the channel slices below are
+    # zero-copy views.
+    sov_table = jnp.concatenate(
+        [heatmap.reshape(h * w, NUM_KEYPOINTS),
+         offsets[..., :NUM_KEYPOINTS].reshape(h * w, NUM_KEYPOINTS),
+         offsets[..., NUM_KEYPOINTS:2 * NUM_KEYPOINTS].reshape(h * w, NUM_KEYPOINTS)],
+        axis=1)                                                  # (HW, 51)
+    dfwd_table = dfwd.reshape(h * w, 2 * NUM_EDGES)              # (HW, 32)
+    dbwd_table = dbwd.reshape(h * w, 2 * NUM_EDGES)
 
     # Part selection: local-max NMS + global descending top-K.
     mask = local_max_mask(heatmap, cfg.score_threshold, LOCAL_MAXIMUM_RADIUS)
@@ -179,20 +194,21 @@ def decode_single(heatmap: jax.Array, offsets: jax.Array, dfwd: jax.Array,
         heatmap, mask, cfg.max_candidates)
 
     # Root image coords: cell*stride + offset at the root cell
-    # (decode_multi.py:109).
-    root_offsets = jnp.stack([off_y[cand_y, cand_x, cand_kp],
-                              off_x[cand_y, cand_x, cand_kp]], -1)  # (K, 2)
+    # (decode_multi.py:109); one row fetch per candidate.
+    root_rows = sov_table[cand_y * w + cand_x]                   # (K, 51)
+    off_row = jnp.take_along_axis(
+        root_rows, jnp.stack([NUM_KEYPOINTS + cand_kp,
+                              2 * NUM_KEYPOINTS + cand_kp], -1), axis=1)
     cand_cell = jnp.stack([cand_y, cand_x], -1).astype(jnp.float32)
-    root_coords = cand_cell * output_stride + root_offsets      # (K, 2)
+    root_coords = cand_cell * output_stride + off_row            # (K, 2)
 
     # Decode ALL candidate poses in parallel (vmap over the candidate
     # axis) — the traversal is independent of greedy state, so the
     # reference's per-pose sequential walk (decode_multi.py:115-118)
     # becomes K simultaneous walks.
     all_scores, all_coords, all_offsets = jax.vmap(
-        lambda s, k, c: _decode_pose_planes(
-            s, k, c, heatmap, off_y, off_x, dfwd_y, dfwd_x, dbwd_y, dbwd_x,
-            output_stride)
+        lambda s, k, c: _decode_pose_tables(
+            s, k, c, sov_table, dfwd_table, dbwd_table, h, w, output_stride)
     )(cand_scores, cand_kp, root_coords)
     # all_scores (K, 17); all_coords (K, 17, 2); all_offsets (K, 17, 2)
 
