@@ -52,6 +52,9 @@ class DecodeConfig:
     nms_radius: int = 20
     min_pose_score: float = 0.5
     max_candidates: int = 192
+    # Tree-walk backend for batched decode: True = pallas one-hot MXU
+    # kernel, False = pure-XLA gathers, None = auto (pallas on TPU).
+    use_pallas: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -48,6 +48,39 @@ from posenet_tpu.constants import EDGES, LOCAL_MAXIMUM_RADIUS, NUM_EDGES, NUM_KE
 from posenet_tpu.ops.nms import local_max_mask, top_k_candidates
 
 
+def _tree_levels():
+    """Group the 16 kinematic edges into dependency levels.
+
+    The tree is rooted at the nose with depth 4 (nose -> eye/shoulder ->
+    ear/elbow/hip -> wrist/knee -> ankle). Within one level no edge's source
+    is another's target, and edges sharing a target (elbow->shoulder and
+    hip->shoulder in the backward pass) have provably disjoint fill masks —
+    the backward pass only fills the unique root->nose ancestor path, so at
+    most one source per level is filled for any candidate. Level-sequential
+    processing is therefore EXACTLY equivalent to the reference's
+    edge-sequential passes (decode.py:152-178), while letting each level's
+    K x L gathers batch into a single fetch.
+
+    Returns (bwd_levels, fwd_levels): lists of levels, each a list of
+    (edge_id, source_kp, target_kp).
+    """
+    depth = {0: 0}
+    for parent, child in EDGES.tolist():
+        depth[child] = depth[parent] + 1
+    bwd, fwd = {}, {}
+    for edge_id, (parent, child) in enumerate(EDGES.tolist()):
+        # backward: child -> parent, runs deepest-child first
+        bwd.setdefault(depth[child], []).append((edge_id, child, parent))
+        # forward: parent -> child, runs shallowest-parent first
+        fwd.setdefault(depth[parent], []).append((edge_id, parent, child))
+    bwd_levels = [bwd[d] for d in sorted(bwd, reverse=True)]
+    fwd_levels = [fwd[d] for d in sorted(fwd)]
+    return bwd_levels, fwd_levels
+
+
+_BWD_LEVELS, _FWD_LEVELS = _tree_levels()
+
+
 class DecodedPoses(NamedTuple):
     """Fixed-size decode result; unfilled slots are zero (reference
     decode_multi.py:94-100 zero-initializes the same buffers)."""
@@ -165,6 +198,83 @@ def _decode_pose_tables(root_score, root_id, root_image_coord, sov_table,
     return carry
 
 
+def _traverse_all_candidates(cand_scores, cand_kp, root_coords, sov_table,
+                             dfwd_table, dbwd_table, h, w,
+                             output_stride: int):
+    """Level-batched K-parallel tree walk.
+
+    State is per-keypoint (K,) vectors (scores, y/x coords, y/x offsets);
+    each of the 8 dependency levels performs exactly TWO batched row
+    gathers — displacement rows at the (L*K,) stacked source cells, then
+    score+offset rows at the landing cells — and distributes the columns
+    statically. Numerics are identical to the reference's per-edge hops
+    (decode.py:9-63): same clip(round(coord/stride)) cell math, same
+    score>0 / score==0 fill gating.
+
+    Returns (kp_scores (K,17), kp_coords (K,17,2), kp_offsets (K,17,2)).
+    """
+    k = cand_scores.shape[0]
+    stride = jnp.float32(output_stride)
+
+    scores_k = [jnp.where(cand_kp == j, cand_scores, 0.0)
+                for j in range(NUM_KEYPOINTS)]
+    coords_y = [jnp.where(cand_kp == j, root_coords[:, 0], 0.0)
+                for j in range(NUM_KEYPOINTS)]
+    coords_x = [jnp.where(cand_kp == j, root_coords[:, 1], 0.0)
+                for j in range(NUM_KEYPOINTS)]
+    offs_y = [jnp.zeros((k,), jnp.float32) for _ in range(NUM_KEYPOINTS)]
+    offs_x = [jnp.zeros((k,), jnp.float32) for _ in range(NUM_KEYPOINTS)]
+
+    def run_level(level, disp_table):
+        n_edges = len(level)
+        # One gather for all edges' displacement rows at the source cells.
+        src_iy = jnp.concatenate(
+            [jnp.clip(jnp.round(coords_y[s] / stride), 0.0, h - 1.0)
+             for _, s, _ in level])
+        src_ix = jnp.concatenate(
+            [jnp.clip(jnp.round(coords_x[s] / stride), 0.0, w - 1.0)
+             for _, s, _ in level])
+        src_cells = (src_iy * w + src_ix).astype(jnp.int32)      # (L*K,)
+        drows = disp_table[src_cells]                            # (L*K, 32)
+
+        # Displaced landing cells, then one gather for score+offset rows.
+        disp_y = jnp.concatenate(
+            [drows[i * k:(i + 1) * k, e] for i, (e, _, _) in enumerate(level)])
+        disp_x = jnp.concatenate(
+            [drows[i * k:(i + 1) * k, NUM_EDGES + e]
+             for i, (e, _, _) in enumerate(level)])
+        coord_y = jnp.concatenate([coords_y[s] for _, s, _ in level]) + disp_y
+        coord_x = jnp.concatenate([coords_x[s] for _, s, _ in level]) + disp_x
+        tgt_iy = jnp.clip(jnp.round(coord_y / stride), 0.0, h - 1.0)
+        tgt_ix = jnp.clip(jnp.round(coord_x / stride), 0.0, w - 1.0)
+        tgt_cells = (tgt_iy * w + tgt_ix).astype(jnp.int32)
+        trows = sov_table[tgt_cells]                             # (L*K, 51)
+
+        for i, (e, s, t) in enumerate(level):
+            sl = slice(i * k, (i + 1) * k)
+            fill = (scores_k[s] > 0.0) & (scores_k[t] == 0.0)
+            sc = trows[sl, t]
+            oy = trows[sl, NUM_KEYPOINTS + t]
+            ox = trows[sl, 2 * NUM_KEYPOINTS + t]
+            scores_k[t] = jnp.where(fill, sc, scores_k[t])
+            coords_y[t] = jnp.where(fill, tgt_iy[sl] * stride + oy, coords_y[t])
+            coords_x[t] = jnp.where(fill, tgt_ix[sl] * stride + ox, coords_x[t])
+            offs_y[t] = jnp.where(fill, oy, offs_y[t])
+            offs_x[t] = jnp.where(fill, ox, offs_x[t])
+
+    for level in _BWD_LEVELS:
+        run_level(level, dbwd_table)
+    for level in _FWD_LEVELS:
+        run_level(level, dfwd_table)
+
+    kp_scores = jnp.stack(scores_k, axis=1)                      # (K, 17)
+    kp_coords = jnp.stack(
+        [jnp.stack(coords_y, axis=1), jnp.stack(coords_x, axis=1)], axis=-1)
+    kp_offsets = jnp.stack(
+        [jnp.stack(offs_y, axis=1), jnp.stack(offs_x, axis=1)], axis=-1)
+    return kp_scores, kp_coords, kp_offsets
+
+
 def decode_single(heatmap: jax.Array, offsets: jax.Array, dfwd: jax.Array,
                   dbwd: jax.Array, output_stride: int,
                   cfg: DecodeConfig) -> DecodedPoses:
@@ -175,11 +285,31 @@ def decode_single(heatmap: jax.Array, offsets: jax.Array, dfwd: jax.Array,
       offsets: (H, W, 34) packed [y||x].
       dfwd/dbwd: (H, W, 32) packed [y||x].
     """
+    sov_table, dfwd_table, dbwd_table, cand_scores, cand_kp, root_coords = \
+        _prepare_decode(heatmap, offsets, dfwd, dbwd, output_stride, cfg)
     h, w, _ = heatmap.shape
-    # Packed row tables (one contiguous row fetch per traversal hop — see
-    # _traverse). Channel packing is [all-y || all-x] within each field
-    # (reference decode_multi.py:89-97), so the channel slices below are
-    # zero-copy views.
+
+    # Decode ALL candidate poses in parallel — the traversal is independent
+    # of greedy state, so the reference's per-pose sequential walk
+    # (decode_multi.py:115-118) becomes K simultaneous walks, level-batched
+    # (see _tree_levels: 8 levels x 2 gathers instead of 32 edge steps).
+    all_scores, all_coords, all_offsets = _traverse_all_candidates(
+        cand_scores, cand_kp, root_coords, sov_table, dfwd_table, dbwd_table,
+        h, w, output_stride)
+    # all_scores (K, 17); all_coords (K, 17, 2); all_offsets (K, 17, 2)
+
+    return _greedy_accept(cand_scores, cand_kp, root_coords, all_scores,
+                          all_coords, all_offsets, cfg)
+
+
+def _prepare_decode(heatmap, offsets, dfwd, dbwd, output_stride: int,
+                    cfg: DecodeConfig):
+    """Stage 1: packed row tables + ranked candidates + refined root coords.
+
+    Channel packing is [all-y || all-x] within each field (reference
+    decode_multi.py:89-97), so the channel slices below are zero-copy views.
+    """
+    h, w, _ = heatmap.shape
     sov_table = jnp.concatenate(
         [heatmap.reshape(h * w, NUM_KEYPOINTS),
          offsets[..., :NUM_KEYPOINTS].reshape(h * w, NUM_KEYPOINTS),
@@ -201,19 +331,13 @@ def decode_single(heatmap: jax.Array, offsets: jax.Array, dfwd: jax.Array,
                               2 * NUM_KEYPOINTS + cand_kp], -1), axis=1)
     cand_cell = jnp.stack([cand_y, cand_x], -1).astype(jnp.float32)
     root_coords = cand_cell * output_stride + off_row            # (K, 2)
+    return sov_table, dfwd_table, dbwd_table, cand_scores, cand_kp, root_coords
 
-    # Decode ALL candidate poses in parallel (vmap over the candidate
-    # axis) — the traversal is independent of greedy state, so the
-    # reference's per-pose sequential walk (decode_multi.py:115-118)
-    # becomes K simultaneous walks.
-    all_scores, all_coords, all_offsets = jax.vmap(
-        lambda s, k, c: _decode_pose_tables(
-            s, k, c, sov_table, dfwd_table, dbwd_table, h, w, output_stride)
-    )(cand_scores, cand_kp, root_coords)
-    # all_scores (K, 17); all_coords (K, 17, 2); all_offsets (K, 17, 2)
 
-    # Sequential greedy accept over ranked candidates with fixed-size pose
-    # buffers (decode_multi.py:104-139 semantics).
+def _greedy_accept(cand_scores, cand_kp, root_coords, all_scores, all_coords,
+                   all_offsets, cfg: DecodeConfig) -> DecodedPoses:
+    """Stage 3: sequential greedy accept over ranked candidates with
+    fixed-size pose buffers (decode_multi.py:104-139 semantics)."""
     P = cfg.max_pose_detections
     r2 = jnp.float32(cfg.nms_radius ** 2)
     slot_ids = jnp.arange(P)
@@ -288,10 +412,34 @@ def decode_single_jit(heatmap, offsets, dfwd, dbwd, output_stride: int,
 def decode_batch(heatmap, offsets, dfwd, dbwd, output_stride: int,
                  cfg: DecodeConfig) -> DecodedPoses:
     """Batched decode: (B, H, W, C) heads -> (B, P, ...) poses. One XLA
-    program; candidates AND batch items decode in parallel."""
+    program; candidates AND batch items decode in parallel.
+
+    On TPU the gather-bound tree walk routes through the pallas one-hot
+    MXU kernel (posenet_tpu.ops.pallas.traversal); elsewhere — and when
+    cfg.use_pallas is False — the pure-XLA level-batched traversal runs.
+    Both paths are golden-tested against the PyTorch reference.
+    """
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
+    if not use_pallas:
+        return jax.vmap(
+            lambda h, o, f, b: decode_single(h, o, f, b, output_stride, cfg)
+        )(heatmap, offsets, dfwd, dbwd)
+
+    from posenet_tpu.ops.pallas.traversal import traverse_all_candidates_pallas
+
+    h, w = heatmap.shape[1], heatmap.shape[2]
+    prep = jax.vmap(
+        lambda hm, o, f, b: _prepare_decode(hm, o, f, b, output_stride, cfg))
+    sov, dft, dbt, cand_scores, cand_kp, root_coords = prep(
+        heatmap, offsets, dfwd, dbwd)
+    all_scores, all_coords, all_offsets = traverse_all_candidates_pallas(
+        cand_scores, cand_kp, root_coords, sov, dft, dbt, h, w, output_stride,
+        interpret=jax.default_backend() != 'tpu')
     return jax.vmap(
-        lambda h, o, f, b: decode_single(h, o, f, b, output_stride, cfg)
-    )(heatmap, offsets, dfwd, dbwd)
+        lambda cs, ck, rc, s, c, o: _greedy_accept(cs, ck, rc, s, c, o, cfg)
+    )(cand_scores, cand_kp, root_coords, all_scores, all_coords, all_offsets)
 
 
 # ---------------------------------------------------------------------------

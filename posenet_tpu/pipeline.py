@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from posenet_tpu.config import DecodeConfig, ModelConfig
-from posenet_tpu.decode import DecodedPoses, decode_single
+from posenet_tpu.decode import DecodedPoses, decode_batch
 from posenet_tpu.models import mobilenet_v1
 from posenet_tpu.models.model_factory import PoseNet
 
@@ -31,11 +31,11 @@ def _infer(params, frames_u8, cfg: ModelConfig, decode_cfg: DecodeConfig):
     """(B, H, W, 3) uint8 RGB frames -> DecodedPoses (B, P, ...)."""
     x = frames_u8.astype(cfg.compute_dtype) * (2.0 / 255.0) - 1.0
     heads = mobilenet_v1.forward(params, x, cfg)
-    return jax.vmap(
-        lambda h, o, f, b: decode_single(
-            h, o, f, b, cfg.output_stride, decode_cfg)
-    )(heads['heatmap'], heads['offset'],
-      heads['displacement_fwd'], heads['displacement_bwd'])
+    # decode_batch routes the tree walk through the pallas one-hot MXU
+    # kernel on TPU (decode_cfg.use_pallas controls it explicitly).
+    return decode_batch(
+        heads['heatmap'], heads['offset'], heads['displacement_fwd'],
+        heads['displacement_bwd'], cfg.output_stride, decode_cfg)
 
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'decode_cfg'))

@@ -177,3 +177,31 @@ def test_single_pose_decode_runs():
     assert kp_scores.shape == (17,)
     assert kp_coords.shape == (17, 2)
     assert float(kp_scores[root_id]) > 0.5
+
+
+def test_pallas_traversal_matches_xla():
+    """The pallas one-hot MXU traversal must be bit-identical to the XLA
+    path (interpret mode so it runs on the CPU test backend)."""
+    import jax
+
+    from posenet_tpu.decode import _prepare_decode, _traverse_all_candidates
+    from posenet_tpu.ops.pallas.traversal import traverse_all_candidates_pallas
+
+    r = 33
+    scores, offsets, dfwd, dbwd = synth_heads(3, r=r)
+    cfg = DecodeConfig(min_pose_score=0.25, max_candidates=32)
+    heads = [jnp.asarray(a.transpose(1, 2, 0))[None]
+             for a in (scores, offsets, dfwd, dbwd)]
+
+    prep = jax.vmap(lambda h, o, f, b: _prepare_decode(h, o, f, b, 16, cfg))
+    sov, dft, dbt, cs, ck, rc = prep(*heads)
+
+    xs, xc, xo = jax.vmap(
+        lambda a, b, c, s, d1, d2: _traverse_all_candidates(
+            a, b, c, s, d1, d2, r, r, 16))(cs, ck, rc, sov, dft, dbt)
+    ps, pc, po = traverse_all_candidates_pallas(
+        cs, ck, rc, sov, dft, dbt, r, r, 16, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(xs))
+    np.testing.assert_array_equal(np.asarray(pc), np.asarray(xc))
+    np.testing.assert_array_equal(np.asarray(po), np.asarray(xo))
