@@ -419,9 +419,13 @@ def decode_batch(heatmap, offsets, dfwd, dbwd, output_stride: int,
     cfg.use_pallas is False — the pure-XLA level-batched traversal runs.
     Both paths are golden-tested against the PyTorch reference.
     """
+    h, w = heatmap.shape[1], heatmap.shape[2]
     use_pallas = cfg.use_pallas
     if use_pallas is None:
-        use_pallas = jax.default_backend() == 'tpu'
+        # The kernel holds split tables + the (K, H*W) one-hot in VMEM;
+        # beyond ~4k cells (e.g. stride-8 720p: 91x161) it no longer fits
+        # a 16MB VMEM budget and the XLA path takes over.
+        use_pallas = jax.default_backend() == 'tpu' and h * w <= 4096
     if not use_pallas:
         return jax.vmap(
             lambda h, o, f, b: decode_single(h, o, f, b, output_stride, cfg)

@@ -65,8 +65,20 @@ class PosenetDataset:
         stems = [os.path.splitext(f)[0] for f in self.files]
         kps_xy, _, offs = load_ground_truth_data(
             stems, keypoints_dir, with_heatmaps=False)
-        # (N, 15, 17, 2) (x,y) -> (y,x); sentinels (-1,-1)/(0,0) survive the
-        # coordinate swap unchanged.
+        # GT keypoints are stored on the canonical 33x33 grid (reference
+        # ground_truth_dataloop.py heatmap_shape); rescale them to the
+        # actual output grid R = (image_size-1)/stride + 1 so targets line
+        # up for any training resolution. Sentinels ((0,0)/(-1,-1)) must
+        # not be scaled.
+        from posenet_tpu.training.ground_truth import HEATMAP_SHAPE
+        r = (image_size - 1) // output_stride + 1
+        scale = r / HEATMAP_SHAPE[0]
+        sentinel = np.all((kps_xy == 0) | (kps_xy == -1), axis=-1,
+                          keepdims=True)
+        kps_xy = np.where(sentinel, kps_xy, kps_xy * scale)
+        offs = np.where(sentinel, offs, offs * scale)
+        # (N, 15, 17, 2) (x,y) -> (y,x); sentinels survive the coordinate
+        # swap unchanged.
         self.keypoints = to_yx(kps_xy).astype(np.float32)
         self.offset_vectors = to_yx(offs).astype(np.float32)
 

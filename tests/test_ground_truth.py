@@ -194,8 +194,9 @@ def test_dataset_and_mean_std(tmp_path):
     item = ds[0]
     assert item['image'].shape == (65, 65, 3)
     assert item['keypoints'].shape == (15, 17, 2)
-    # y-x order: annotation x=32*33/64=16.5, y=16*33/64=8.25 -> (y,x)
-    np.testing.assert_allclose(item['keypoints'][0, 0], [8.25, 16.5])
+    # y-x order, rescaled from the canonical 33-grid to the actual
+    # (65-1)/16+1 = 5-cell grid: x = 32/64*33 * (5/33) = 2.5, y = 1.25
+    np.testing.assert_allclose(item['keypoints'][0, 0], [1.25, 2.5])
 
     batches = list(ds.iter_batches(2, shuffle=False))
     assert batches[0]['image'].shape == (2, 65, 65, 3)

@@ -1,0 +1,108 @@
+"""End-to-end trainer tests: loop, early stopping, orbax checkpoint/resume
+(the reference never saves its model — SURVEY.md §5)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from posenet_tpu.config import ModelConfig, TrainConfig
+from posenet_tpu.models import mobilenet_v1
+from posenet_tpu.training import train_step as ts
+from posenet_tpu.training.dataset import PosenetDataset
+from posenet_tpu.training.ground_truth import prepare_ground_truth_data
+from posenet_tpu.training.trainer import (MetricLogger, restore_checkpoint,
+                                          save_checkpoint, train)
+
+
+def make_synthetic_dataset(root, n_images=4, image_size=65):
+    import cv2
+
+    images = os.path.join(root, "images")
+    labels = os.path.join(root, "labels")
+    kpdir = os.path.join(root, "keypoints_updated")
+    os.makedirs(images); os.makedirs(labels)
+    rng = np.random.RandomState(0)
+    for i in range(n_images):
+        cv2.imwrite(os.path.join(images, f"img{i}.jpg"),
+                    rng.randint(0, 255, (80, 80, 3), dtype=np.uint8))
+        ann = {
+            "metadata": {"system": {"height": 80, "width": 80}},
+            "annotations": [
+                {"type": "pose", "id": "p1"},
+                {"type": "point", "label": "Nose",
+                 "metadata": {"system": {"parentId": "p1"}},
+                 "coordinates": {"x": float(rng.randint(10, 70)),
+                                 "y": float(rng.randint(10, 70))}},
+                {"type": "point", "label": "Left Shoulder",
+                 "metadata": {"system": {"parentId": "p1"}},
+                 "coordinates": {"x": float(rng.randint(10, 70)),
+                                 "y": float(rng.randint(10, 70))}},
+            ],
+        }
+        with open(os.path.join(labels, f"img{i}.json"), "w") as f:
+            json.dump(ann, f)
+    prepare_ground_truth_data(images, labels, keypoints_updated_dir=kpdir)
+    return images, kpdir
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model_cfg = ModelConfig(model_id=50, output_stride=16)
+    train_cfg = TrainConfig(model_id=50)
+    params = mobilenet_v1.init_params(jax.random.PRNGKey(0), model_cfg)
+    state, tx = ts.init_train_state(params, train_cfg)
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, state)
+    restored = restore_checkpoint(ckpt_dir, state)
+    assert restored is not None
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # missing dir -> None
+    assert restore_checkpoint(str(tmp_path / "nope"), state) is None
+
+
+def test_train_loop_end_to_end(tmp_path):
+    """Two epochs of heads-only fine-tuning on a synthetic dataset must run,
+    log metrics, reduce the train loss, and write a checkpoint."""
+    images, kpdir = make_synthetic_dataset(str(tmp_path))
+    ds = PosenetDataset(images, kpdir, image_size=65, output_stride=16)
+
+    cfg = TrainConfig(model_id=50, output_stride=16, batch_size=2,
+                      learning_rate=3e-3, num_epochs=4,
+                      checkpoint_dir=str(tmp_path / "ckpt"))
+    logger = MetricLogger(verbose=False)
+    state = train(ds, ds, cfg, logger=logger, resume=False,
+                  eval_pose_metrics=False)
+
+    assert int(state.step) == 4 * 2  # 4 epochs x 2 batches
+    hist = logger.history
+    assert len(hist) == 4
+    assert np.isfinite([h['train_loss'] for h in hist]).all()
+    assert hist[-1]['train_loss'] < hist[0]['train_loss']
+    assert 'test_loss' in hist[0]
+    # best-model checkpoint written
+    assert any(d.startswith('step_') for d in os.listdir(cfg.checkpoint_dir))
+
+    # resume: restarting with the same checkpoint dir picks up the step
+    state2 = train(ds, None, TrainConfig(
+        model_id=50, output_stride=16, batch_size=2, num_epochs=1,
+        checkpoint_dir=str(tmp_path / "ckpt")), logger=MetricLogger(verbose=False),
+        resume=True, eval_pose_metrics=False)
+    assert int(state2.step) > int(state.step) - 4  # resumed, not restarted
+
+
+def test_train_loop_with_pose_metrics(tmp_path):
+    """One epoch with the decode+OKS/mAP eval path enabled."""
+    images, kpdir = make_synthetic_dataset(str(tmp_path), n_images=2)
+    ds = PosenetDataset(images, kpdir, image_size=65, output_stride=16)
+    cfg = TrainConfig(model_id=50, output_stride=16, batch_size=2,
+                      num_epochs=1, checkpoint_dir=str(tmp_path / "ckpt"))
+    logger = MetricLogger(verbose=False)
+    train(ds, ds, cfg, logger=logger, resume=False, eval_pose_metrics=True)
+    assert 'oks' in logger.history[0] or 'test_loss' in logger.history[0]

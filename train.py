@@ -9,6 +9,7 @@ opt into wandb logging (the reference hard-requires it).
 """
 
 import argparse
+import os
 
 import posenet_tpu  # noqa: F401  (registers the package)
 from posenet_tpu.config import TrainConfig
@@ -54,6 +55,11 @@ def main():
             args.train_image_dir, args.prepare_gt,
             keypoints_updated_dir=args.keypoint_dir,
             annotation_format=args.gt_format)
+        if os.path.isdir(args.test_image_dir):
+            prepare_ground_truth_data(
+                args.test_image_dir, args.prepare_gt,
+                keypoints_updated_dir=args.keypoint_dir,
+                annotation_format=args.gt_format)
 
     cfg = TrainConfig(
         model_id=args.model, output_stride=args.output_stride,
