@@ -38,6 +38,19 @@ def _infer(params, frames_u8, cfg: ModelConfig, decode_cfg: DecodeConfig):
         heads['displacement_bwd'], cfg.output_stride, decode_cfg)
 
 
+def _infer_cropped(params, frames_u8, crop_r, *, cfg: ModelConfig,
+                   decode_cfg: DecodeConfig):
+    """Spatial-partition variant: forward on the H-padded frame, crop the
+    head grids back to the true `crop_r` rows, then decode."""
+    x = frames_u8.astype(cfg.compute_dtype) * (2.0 / 255.0) - 1.0
+    heads = mobilenet_v1.forward(params, x, cfg)
+    return decode_batch(
+        heads['heatmap'][:, :crop_r], heads['offset'][:, :crop_r],
+        heads['displacement_fwd'][:, :crop_r],
+        heads['displacement_bwd'][:, :crop_r],
+        cfg.output_stride, decode_cfg)
+
+
 @functools.partial(jax.jit, static_argnames=('cfg', 'decode_cfg'))
 def infer_jit(params, frames_u8, cfg: ModelConfig, decode_cfg: DecodeConfig):
     return _infer(params, frames_u8, cfg, decode_cfg)
@@ -53,7 +66,19 @@ class PoseNetPipeline:
 
     def __init__(self, model: PoseNet,
                  decode_cfg: DecodeConfig = DecodeConfig(min_pose_score=0.25),
-                 mesh: Optional[jax.sharding.Mesh] = None):
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 partition: str = 'data'):
+        """Args:
+          mesh: optional device mesh with a 'data' axis.
+          partition: how to spread work over the mesh —
+            'data': batch axis sharded (throughput serving; no cross-chip
+              traffic).
+            'spatial': image HEIGHT sharded — the sequence-parallel analog
+              for CNNs (SURVEY.md §2.3: spatial extent plays the role of
+              context length). XLA GSPMD inserts the conv halo exchanges
+              over ICI automatically; use for single-image latency when one
+              frame must be computed by many chips.
+        """
         self.model = model
         self.decode_cfg = decode_cfg
         self.mesh = mesh
@@ -63,24 +88,46 @@ class PoseNetPipeline:
         model = PoseNet(
             mobilenet_v1.cast_params(model.params, model.cfg.compute_dtype),
             model.cfg)
+        self._partition = partition if mesh is not None else 'data'
+        self._n_shards = mesh.devices.size if mesh is not None else 1
         if mesh is not None:
-            data_sharding = jax.sharding.NamedSharding(
-                mesh, jax.sharding.PartitionSpec('data'))
-            replicated = jax.sharding.NamedSharding(
-                mesh, jax.sharding.PartitionSpec())
+            P = jax.sharding.PartitionSpec
+            if partition == 'spatial':
+                in_spec = P(None, 'data', None, None)   # shard H
+                # Stride-valid heights (16n+1) are never divisible by the
+                # mesh; __call__ zero-pads extra bottom rows (identical to
+                # the convs' own zero padding, so the first R output rows
+                # are unchanged) and the jitted fn crops the heads back.
+                fn = functools.partial(_infer_cropped, cfg=model.cfg,
+                                       decode_cfg=decode_cfg)
+            else:
+                in_spec = P('data')
+                fn = functools.partial(_infer, cfg=model.cfg,
+                                       decode_cfg=decode_cfg)
+            in_sharding = jax.sharding.NamedSharding(mesh, in_spec)
+            replicated = jax.sharding.NamedSharding(mesh, P())
             self.params = jax.device_put(model.params, replicated)
             self._fn = jax.jit(
-                functools.partial(_infer, cfg=model.cfg, decode_cfg=decode_cfg),
-                in_shardings=(replicated, data_sharding))
+                fn, static_argnums=(2,) if partition == 'spatial' else (),
+                in_shardings=(replicated, in_sharding),
+                out_shardings=replicated if partition == 'spatial' else None)
         else:
             self.params = model.params
             self._fn = functools.partial(
                 infer_jit, cfg=model.cfg, decode_cfg=self.decode_cfg)
 
     def __call__(self, frames_u8) -> DecodedPoses:
-        return self._fn(self.params, jnp.asarray(frames_u8))
+        frames = jnp.asarray(frames_u8)
+        if self._partition == 'spatial':
+            h = frames.shape[1]
+            crop_r = (h - 1) // self.model.cfg.output_stride + 1
+            pad_h = (-h) % self._n_shards
+            if pad_h:
+                frames = jnp.pad(frames, ((0, 0), (0, pad_h), (0, 0), (0, 0)))
+            return self._fn(self.params, frames, crop_r)
+        return self._fn(self.params, frames)
 
     def warmup(self, input_hw: Tuple[int, int], batch: int = 1):
         """Trigger compilation for a given shape."""
         dummy = jnp.zeros((batch, *input_hw, 3), jnp.uint8)
-        jax.block_until_ready(self._fn(self.params, dummy))
+        jax.block_until_ready(self(dummy))

@@ -146,3 +146,31 @@ def test_pipeline_with_mesh():
     frames = np.zeros((8, 65, 65, 3), np.uint8)
     out = pipe(frames)
     assert out.pose_scores.shape == (8, 10)
+
+
+def test_pipeline_spatial_partition():
+    """Spatial (height-sharded) inference over the 8-device mesh — the
+    CNN analog of sequence parallelism; GSPMD inserts conv halo exchanges.
+    Results must match the unsharded pipeline."""
+    import jax
+
+    from posenet_tpu.config import DecodeConfig
+    from posenet_tpu.models import load_model
+    from posenet_tpu.parallel.mesh import make_mesh
+    from posenet_tpu.pipeline import PoseNetPipeline
+
+    mesh = make_mesh(8)
+    model = load_model(50, output_stride=16, allow_random_init=True)
+    dcfg = DecodeConfig(min_pose_score=0.0, score_threshold=0.3,
+                        max_candidates=32)
+    frames = np.random.RandomState(7).randint(
+        0, 255, (1, 129, 129, 3), dtype=np.uint8)
+
+    plain = PoseNetPipeline(model, dcfg)
+    spatial = PoseNetPipeline(model, dcfg, mesh=mesh, partition='spatial')
+    out_a = plain(frames)
+    out_b = spatial(frames)
+    np.testing.assert_allclose(np.asarray(out_a.pose_scores),
+                               np.asarray(out_b.pose_scores), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_a.keypoint_coords),
+                               np.asarray(out_b.keypoint_coords), atol=0.1)
