@@ -64,16 +64,24 @@ def main():
         raise SystemExit(f'no images found in {args.image_dir}')
 
     if args.batch_size > 0:
-        # Throughput mode: uint8 RGB frames at valid resolution, fused
-        # normalize->forward->decode on device.
-        size = images[filenames[0]].shape[-1]
-        frames = np.stack([
-            ((images[filenames[i % len(filenames)]][0].transpose(1, 2, 0)
-              + 1.0) * (255.0 / 2.0)).astype(np.uint8)
-            for i in range(args.batch_size)])
+        # Throughput mode: uint8 RGB frames at valid resolution, batched by
+        # the native multi-threaded loader (native/preprocess.cpp; falls
+        # back to cv2 if unbuilt), fused normalize->forward->decode on
+        # device.
+        import cv2
+
+        from posenet_tpu import native_preprocess as npp
+        from posenet_tpu.preprocess import valid_resolution
+
+        raw = [cv2.imread(filenames[i % len(filenames)])
+               for i in range(args.batch_size)]
+        tw, th = valid_resolution(args.image_size, args.image_size,
+                                  output_stride)
+        frames = npp.resize_batch(raw, (th, tw), swap_rb=True)
         pipe = PoseNetPipeline(model, DecodeConfig(min_pose_score=0.25))
-        pipe.warmup((size, size), args.batch_size)
+        pipe.warmup((th, tw), args.batch_size)
         n_batches = max(1, num_images // args.batch_size)
+        frames = jax.device_put(frames)  # upload once, reuse device-resident
 
         if args.profile:
             from posenet_tpu.profiling import device_time_report, trace

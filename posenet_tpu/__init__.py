@@ -10,7 +10,8 @@ from posenet_tpu.constants import *  # noqa: F401,F403
 from posenet_tpu import constants, decode, decode_multi  # noqa: F401
 from posenet_tpu.config import DecodeConfig, ModelConfig, TrainConfig  # noqa: F401
 from posenet_tpu.decode import (DecodedPoses, decode_batch,  # noqa: F401
-                                decode_single_pose)
+                                build_part_with_score_single_pose,
+                                decode_pose, decode_single_pose, find_root)
 from posenet_tpu.decode_multi import (decode_multiple_poses,  # noqa: F401
                                       decode_multiple_poses_batch)
 from posenet_tpu.models.model_factory import PoseNet, load_model  # noqa: F401

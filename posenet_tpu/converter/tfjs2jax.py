@@ -107,11 +107,16 @@ def variables_to_pytree(variables: Dict[str, np.ndarray], model_id: int) -> Dict
     return {'backbone': backbone, 'heads': heads}
 
 
-def convert(model_id: int, model_dir: str, base_dir: str = BASE_DIR) -> str:
+def convert(model_id: int, model_dir: str, base_dir: str = BASE_DIR,
+            output_stride: int = 16, image_size: int = 513,
+            check: bool = True) -> str:
     """Download (if needed) + convert + save as a flat .npz checkpoint.
 
     Returns the saved checkpoint path (same role as the reference's
     `convert()` writing `<model_dir>/<checkpoint>.pth`, tfjs2pytorch.py:85-97).
+    With `check=True` and ./images/tennis_in_crowd.jpg present, runs a
+    sanity forward pass and prints the heatmap shape/corner/mean — the
+    reference's converter self-check (tfjs2pytorch.py:99-111).
     """
     checkpoint_name = MOBILENET_V1_CHECKPOINTS[model_id]
     os.makedirs(model_dir, exist_ok=True)
@@ -119,6 +124,25 @@ def convert(model_id: int, model_dir: str, base_dir: str = BASE_DIR) -> str:
     params = variables_to_pytree(variables, model_id)
     path = os.path.join(model_dir, checkpoint_name + '.npz')
     save_params_npz(path, params)
+
+    check_image = "./images/tennis_in_crowd.jpg"
+    if check and os.path.exists(check_image):
+        import cv2
+        import jax.numpy as jnp
+
+        from posenet_tpu.config import ModelConfig
+        from posenet_tpu.models import mobilenet_v1
+
+        img = cv2.resize(cv2.imread(check_image), (image_size, image_size))
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+        x = jnp.asarray(img * (2.0 / 255.0) - 1.0)[None]
+        cfg = ModelConfig(model_id=model_id, output_stride=output_stride)
+        out = mobilenet_v1.forward(params, x, cfg)
+        hm = np.asarray(out['heatmap'])
+        print("Heatmaps")
+        print(hm.shape)
+        print(hm[:, 0:1, 0:1])
+        print(float(hm.mean()))
     return path
 
 

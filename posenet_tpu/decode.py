@@ -485,3 +485,30 @@ def decode_single_pose(heatmap: jax.Array, offsets: jax.Array,
         best_scores[root_id], root_id, root_coord, heatmap, offsets_yx,
         split_yx(dfwd, NUM_EDGES), split_yx(dbwd, NUM_EDGES), output_stride)
     return kp_scores, kp_coords, root_id
+
+
+def build_part_with_score_single_pose(score_threshold, local_max_radius,
+                                      heatmap):
+    """Per-keypoint best local maximum (reference
+    decode.py:66-86 `build_part_with_score_torch_single_pose`, vectorized:
+    the reference's Python loop over nonzero indices becomes a per-channel
+    masked argmax).
+
+    Args: heatmap (H, W, 17) sigmoid scores.
+    Returns (highest_scores (17,), highest_score_indices (17, 2) y-x cells).
+    """
+    h, w, _ = heatmap.shape
+    mask = local_max_mask(heatmap, score_threshold, local_max_radius)
+    masked = jnp.where(mask, heatmap, 0.0)
+    flat = masked.reshape(h * w, NUM_KEYPOINTS)
+    best_idx = jnp.argmax(flat, axis=0)
+    best_scores = jnp.take_along_axis(flat, best_idx[None], axis=0)[0]
+    coords = jnp.stack([best_idx // w, best_idx % w], axis=-1)
+    return best_scores, coords
+
+
+def find_root(highest_scores, highest_score_indices):
+    """Root = keypoint with the global best score (reference
+    decode.py:114-128). Returns (root_score, root_id, root_cell (2,))."""
+    root_id = jnp.argmax(highest_scores)
+    return highest_scores[root_id], root_id, highest_score_indices[root_id]

@@ -128,6 +128,8 @@ class PoseNetPipeline:
         return self._fn(self.params, frames)
 
     def warmup(self, input_hw: Tuple[int, int], batch: int = 1):
-        """Trigger compilation for a given shape."""
+        """Trigger compilation for a given shape. Synchronizes via a host
+        fetch of a tiny output — `block_until_ready` can return before
+        completion on tunneled platforms."""
         dummy = jnp.zeros((batch, *input_hw, 3), jnp.uint8)
-        jax.block_until_ready(self(dummy))
+        np.asarray(self(dummy).pose_scores)
