@@ -260,23 +260,28 @@ def forward(params: Dict[str, Any], x: jax.Array, cfg: ModelConfig,
         x = x.astype(cfg.compute_dtype)
 
     # Heads always accumulate in f32: offsets/displacements are regressed
-    # pixel values consumed by the decoder's coordinate math.
+    # pixel values consumed by the decoder's coordinate math. All four 1x1
+    # heads run as ONE conv over concatenated output channels so the
+    # 1024-ch trunk features are read from HBM once instead of four times
+    # (at batch 128 that is ~1 GB of traffic saved); results are channel
+    # slices. Numerically identical to separate convs — each output channel
+    # only contracts with its own kernel column.
     hp = params['heads']
-    heatmap_logits = _conv2d(x, hp['heatmap']['w'], hp['heatmap']['b'],
-                             precision=precision,
-                             accum_dtype=jnp.float32).astype(jnp.float32)
-    offset = _conv2d(x, hp['offset']['w'], hp['offset']['b'], precision=precision,
-                     accum_dtype=jnp.float32)
-    disp_fwd = _conv2d(x, hp['displacement_fwd']['w'], hp['displacement_fwd']['b'],
-                       precision=precision, accum_dtype=jnp.float32)
-    disp_bwd = _conv2d(x, hp['displacement_bwd']['w'], hp['displacement_bwd']['b'],
-                       precision=precision, accum_dtype=jnp.float32)
+    head_order = ('heatmap', 'offset', 'displacement_fwd', 'displacement_bwd')
+    w_all = jnp.concatenate([hp[n]['w'] for n in head_order], axis=-1)
+    b_all = jnp.concatenate([hp[n]['b'] for n in head_order], axis=-1)
+    all_heads = _conv2d(x, w_all, b_all, precision=precision,
+                        accum_dtype=jnp.float32).astype(jnp.float32)
+    c0 = HEAD_CHANNELS['heatmap']
+    c1 = c0 + HEAD_CHANNELS['offset']
+    c2 = c1 + HEAD_CHANNELS['displacement_fwd']
+    heatmap_logits = all_heads[..., :c0]
     return {
         'heatmap': jax.nn.sigmoid(heatmap_logits),
         'heatmap_logits': heatmap_logits,
-        'offset': offset.astype(jnp.float32),
-        'displacement_fwd': disp_fwd.astype(jnp.float32),
-        'displacement_bwd': disp_bwd.astype(jnp.float32),
+        'offset': all_heads[..., c0:c1],
+        'displacement_fwd': all_heads[..., c1:c2],
+        'displacement_bwd': all_heads[..., c2:],
     }
 
 
