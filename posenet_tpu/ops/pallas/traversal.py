@@ -58,15 +58,30 @@ def _traversal_kernel(meta_ref, sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
                       cand_kp_ref, root_y_ref, root_x_ref,
                       out_scores_ref, out_cy_ref, out_cx_ref,
                       out_oy_ref, out_ox_ref,
-                      *, h: int, w: int, k: int, stride: float):
+                      *, h: int, w: int, k: int, stride: float,
+                      group: int):
+    # Each program decodes `group` images (amortizes per-program pipeline
+    # overhead over the grid); the per-image body is unrolled.
+    for g in range(group):
+        _traverse_one(meta_ref, sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
+                      cand_kp_ref, root_y_ref, root_x_ref, out_scores_ref,
+                      out_cy_ref, out_cx_ref, out_oy_ref, out_ox_ref,
+                      g=g, h=h, w=w, k=k, stride=stride)
+
+
+def _traverse_one(meta_ref, sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
+                  cand_kp_ref, root_y_ref, root_x_ref,
+                  out_scores_ref, out_cy_ref, out_cx_ref,
+                  out_oy_ref, out_ox_ref,
+                  *, g: int, h: int, w: int, k: int, stride: float):
     hw = h * w
     # meta_ref (SMEM, (6, 16) int32): rows = bwd_e, bwd_s, bwd_t, fwd_e,
     # fwd_s, fwd_t (see _hop_metadata).
 
-    cand_kp = cand_kp_ref[0, 0, :]                  # (K,) int32
-    cand_scores = cand_scores_ref[0, 0, :]          # (K,)
-    root_y = root_y_ref[0, 0, :]
-    root_x = root_x_ref[0, 0, :]
+    cand_kp = cand_kp_ref[g, 0, :]                  # (K,) int32
+    cand_scores = cand_scores_ref[g, 0, :]          # (K,)
+    root_y = root_y_ref[g, 0, :]
+    root_x = root_x_ref[g, 0, :]
 
     col_ids = lax.broadcasted_iota(jnp.int32, (k, hw), 1)
 
@@ -87,9 +102,9 @@ def _traversal_kernel(meta_ref, sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
             preferred_element_type=jnp.float32)
         return out3[:, :c] + out3[:, c:2 * c] + out3[:, 2 * c:3 * c]
 
-    sov3 = split3(sov_ref[0])                       # (HW, 153) bf16
-    dfwd3 = split3(dfwd_ref[0])                     # (HW, 96) bf16
-    dbwd3 = split3(dbwd_ref[0])
+    sov3 = split3(sov_ref[g])                       # (HW, 153) bf16
+    dfwd3 = split3(dfwd_ref[g])                     # (HW, 96) bf16
+    dbwd3 = split3(dbwd_ref[g])
 
     # Initial state: (17, K) planes, root rows seeded from the candidates.
     row_ids = lax.broadcasted_iota(jnp.int32, (NUM_KEYPOINTS, k), 0)
@@ -162,11 +177,11 @@ def _traversal_kernel(meta_ref, sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
     state = lax.fori_loop(0, NUM_EDGES, make_hop(dfwd3, 3), state)
     scores, cy, cx, oy, ox = state
 
-    out_scores_ref[0] = scores                       # (17, K)
-    out_cy_ref[0] = cy
-    out_cx_ref[0] = cx
-    out_oy_ref[0] = oy
-    out_ox_ref[0] = ox
+    out_scores_ref[g] = scores                       # (17, K)
+    out_cy_ref[g] = cy
+    out_cx_ref[g] = cx
+    out_oy_ref[g] = oy
+    out_ox_ref[g] = ox
 
 
 @functools.partial(jax.jit,
@@ -187,26 +202,31 @@ def traverse_all_candidates_pallas(
     b, k = cand_scores.shape
     hw = h * w
 
+    # Images per program: amortizes per-program pipeline overhead while
+    # keeping table VMEM (~0.8 MB/image f32 + bf16 splits) well under
+    # budget. b must divide evenly; fall back to 1 otherwise.
+    group = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
+
     kernel = functools.partial(_traversal_kernel, h=h, w=w, k=k,
-                               stride=float(output_stride))
+                               stride=float(output_stride), group=group)
     (bwd_e, bwd_s, bwd_t), (fwd_e, fwd_s, fwd_t) = _hop_metadata()
     meta = jnp.asarray(
         np.stack([bwd_e, bwd_s, bwd_t, fwd_e, fwd_s, fwd_t]), jnp.int32)
 
-    grid = (b,)
+    grid = (b // group,)
     in_specs = [
         pl.BlockSpec((6, NUM_EDGES), lambda i: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, hw, 51), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hw, 32), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hw, 32), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, hw, 51), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, hw, 32), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, hw, 32), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
     out_specs = [
-        pl.BlockSpec((1, NUM_KEYPOINTS, k), lambda i: (i, 0, 0),
+        pl.BlockSpec((group, NUM_KEYPOINTS, k), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
         for _ in range(5)
     ]
