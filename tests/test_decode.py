@@ -205,3 +205,19 @@ def test_pallas_traversal_matches_xla():
     np.testing.assert_array_equal(np.asarray(ps), np.asarray(xs))
     np.testing.assert_array_equal(np.asarray(pc), np.asarray(xc))
     np.testing.assert_array_equal(np.asarray(po), np.asarray(xo))
+
+
+@pytest.mark.skipif(not reference_oracle.has_reference(), reason="reference unavailable")
+@pytest.mark.parametrize("kwargs", [
+    dict(max_pose_detections=3, score_threshold=0.5, nms_radius=20, min_pose_score=0.25),
+    dict(max_pose_detections=10, score_threshold=0.3, nms_radius=5, min_pose_score=0.25),
+    dict(max_pose_detections=1, score_threshold=0.5, nms_radius=40, min_pose_score=0.5),
+])
+def test_decode_parameter_matrix(kwargs):
+    """Decode parity across the signature's parameter space."""
+    scores, offsets, dfwd, dbwd = synth_heads(41)
+    ref = reference_oracle.reference_decode(scores, offsets, dfwd, dbwd, 16,
+                                            **kwargs)
+    ours = decode_multiple_poses(scores, offsets, dfwd, dbwd, 16, **kwargs)
+    np.testing.assert_allclose(ours[0], ref[0], atol=1e-5)
+    np.testing.assert_allclose(ours[2], ref[2], atol=1e-3)
