@@ -224,7 +224,8 @@ def _relu6(x):
 
 
 def forward(params: Dict[str, Any], x: jax.Array, cfg: ModelConfig,
-            precision=None) -> Dict[str, jax.Array]:
+            precision=None, stop_trunk_gradient: bool = False
+            ) -> Dict[str, jax.Array]:
     """Run backbone + heads.
 
     Args:
@@ -258,6 +259,14 @@ def forward(params: Dict[str, Any], x: jax.Array, cfg: ModelConfig,
             x = _relu6(_conv2d(x, p['pw_w'], p['pw_b'], precision=precision,
                                accum_dtype=accum))
         x = x.astype(cfg.compute_dtype)
+
+    if stop_trunk_gradient:
+        # Heads-only fine-tuning: cutting the gradient at the trunk boundary
+        # lets XLA dead-code-eliminate the ENTIRE backbone backward pass
+        # (the reference's requires_grad=False freezing has the same effect,
+        # train.py:620-634; optax.masked alone still computes the unused
+        # backbone grads).
+        x = lax.stop_gradient(x)
 
     # Heads always accumulate in f32: offsets/displacements are regressed
     # pixel values consumed by the decoder's coordinate math. All four 1x1

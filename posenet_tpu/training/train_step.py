@@ -56,7 +56,8 @@ def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
 def loss_fn(params, batch: Dict[str, jax.Array], model_cfg: ModelConfig,
             train_cfg: TrainConfig) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """batch: {'image': (B,H,W,3) float in [-1,1], 'keypoints': (B,P,17,2)}."""
-    out = mobilenet_v1.forward(params, batch['image'], model_cfg)
+    out = mobilenet_v1.forward(params, batch['image'], model_cfg,
+                               stop_trunk_gradient=train_cfg.heads_only)
     metrics = batched_loss(
         out['heatmap_logits'], out['offset'], batch['keypoints'],
         model_cfg.output_stride,
