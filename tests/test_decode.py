@@ -221,3 +221,52 @@ def test_decode_parameter_matrix(kwargs):
     ours = decode_multiple_poses(scores, offsets, dfwd, dbwd, 16, **kwargs)
     np.testing.assert_allclose(ours[0], ref[0], atol=1e-5)
     np.testing.assert_allclose(ours[2], ref[2], atol=1e-3)
+
+
+def test_sepconv_pallas_matches_xla():
+    """Experimental fused sepconv kernel vs the XLA conv pair (bf16-level
+    tolerance; interpret mode so it runs on the CPU test backend)."""
+    import jax
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    from posenet_tpu.ops.pallas import sepconv
+
+    # interpret mode for the CPU test backend
+    orig = pl.pallas_call
+    import functools as ft
+
+    def patched(*args, **kwargs):
+        kwargs['interpret'] = True
+        return orig(*args, **kwargs)
+
+    B, H, W, C, C2 = 2, 33, 33, 128, 128
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (B, H, W, C), jnp.bfloat16)
+    dw_w = jax.random.normal(k, (3, 3, 1, C), jnp.float32) * 0.2
+    dw_b = jax.random.normal(k, (C,), jnp.float32) * 0.1
+    pw_w = jax.random.normal(k, (1, 1, C, C2), jnp.float32) * 0.1
+    pw_b = jax.random.normal(k, (C2,), jnp.float32) * 0.1
+
+    sepconv.pl.pallas_call = patched
+    try:
+        ours = np.asarray(sepconv.sepconv_pallas(x, dw_w, dw_b, pw_w, pw_b),
+                          np.float32)
+    finally:
+        sepconv.pl.pallas_call = orig
+
+    y = lax.conv_general_dilated(
+        x, dw_w.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'), feature_group_count=C,
+        preferred_element_type=x.dtype)
+    y = jnp.clip(y + dw_b.astype(y.dtype), 0, 6)
+    y = lax.conv_general_dilated(
+        y, pw_w.astype(y.dtype), (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=y.dtype)
+    ref = np.asarray(jnp.clip(y + pw_b.astype(y.dtype), 0, 6), np.float32)
+
+    # kernel accumulates the depthwise in f32 (better than the XLA bf16
+    # path), so allow bf16-level slack
+    assert np.abs(ours - ref).max() < 0.05
+    assert np.abs(ours - ref).mean() < 0.002
