@@ -36,7 +36,7 @@ def decode_multiple_poses(
         scores, offsets, displacements_fwd, displacements_bwd, output_stride,
         max_pose_detections: int = 10, score_threshold: float = 0.5,
         nms_radius: int = 20, min_pose_score: float = 0.5,
-        max_candidates: int = 192,
+        max_candidates: int = 128,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Drop-in replacement for the reference decoder (same defaults,
     decode_multi.py:62-63). Inputs are CHW: (17,H,W), (34,H,W), (32,H,W),
