@@ -142,10 +142,19 @@ def test_pipeline_with_mesh():
 
     mesh = make_mesh(8)
     model = load_model(50, output_stride=16, allow_random_init=True)
-    pipe = PoseNetPipeline(model, DecodeConfig(max_candidates=32), mesh=mesh)
-    frames = np.zeros((8, 65, 65, 3), np.uint8)
+    dcfg = DecodeConfig(min_pose_score=0.0, score_threshold=0.3,
+                        max_candidates=32)
+    pipe = PoseNetPipeline(model, dcfg, mesh=mesh)
+    frames = np.random.RandomState(9).randint(
+        0, 255, (8, 65, 65, 3), dtype=np.uint8)
     out = pipe(frames)
     assert out.pose_scores.shape == (8, 10)
+    # batch-sharded inference must equal the unsharded pipeline exactly
+    plain = PoseNetPipeline(model, dcfg)(frames)
+    np.testing.assert_allclose(np.asarray(out.pose_scores),
+                               np.asarray(plain.pose_scores), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.keypoint_coords),
+                               np.asarray(plain.keypoint_coords), atol=1e-4)
 
 
 def test_pipeline_spatial_partition():
