@@ -42,16 +42,16 @@ class DecodeConfig:
 
     All defaults match the reference signature. `max_candidates` is new: the
     reference iterates an unbounded, data-dependent candidate list; XLA needs
-    a static bound, so we take the top-K score-ranked local maxima. K=192 is
-    far above any observed candidate count for real images at the reference's
-    0.5 score threshold.
+    a static bound, so we take the top-K score-ranked local maxima. K=128 is
+    one MXU tile in the pallas traversal kernel and far above any observed
+    candidate count for real images at the reference's 0.5 score threshold.
     """
 
     max_pose_detections: int = 10
     score_threshold: float = 0.5
     nms_radius: int = 20
     min_pose_score: float = 0.5
-    max_candidates: int = 192
+    max_candidates: int = 128
     # Tree-walk backend for batched decode: True = pallas one-hot MXU
     # kernel, False = pure-XLA gathers, None = auto (pallas on TPU).
     use_pallas: Optional[bool] = None

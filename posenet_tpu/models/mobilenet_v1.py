@@ -223,9 +223,16 @@ def _relu6(x):
     return jnp.clip(x, 0.0, 6.0)
 
 
+def _valid_h_out(vh: int, stride: int, dilation: int) -> int:
+    """Output rows a 3x3 conv produces from `vh` valid input rows under
+    torch-style symmetric padding (the same formula the conv itself obeys)."""
+    p = torch_same_padding(3, stride, dilation)
+    return (vh + 2 * p - dilation * 2 - 1) // stride + 1
+
+
 def forward(params: Dict[str, Any], x: jax.Array, cfg: ModelConfig,
-            precision=None, stop_trunk_gradient: bool = False
-            ) -> Dict[str, jax.Array]:
+            precision=None, stop_trunk_gradient: bool = False,
+            valid_h: int = None) -> Dict[str, jax.Array]:
     """Run backbone + heads.
 
     Args:
@@ -233,6 +240,14 @@ def forward(params: Dict[str, Any], x: jax.Array, cfg: ModelConfig,
       x: (B, H, W, 3) float input in [-1, 1], H = W' = stride*n + 1.
       cfg: static model config (baked into the jit cache key).
       precision: lax precision for parity runs (None = fast TPU default).
+      valid_h: if set, only the first `valid_h` input rows are real and the
+        rest is bottom padding (the spatial-partition path pads H up to a
+        multiple of the mesh). Rows at-or-below the boundary are zeroed
+        before every 3x3 conv, which makes them indistinguishable from the
+        convs' own implicit zero padding — so the first
+        (valid_h-1)//stride+1 output rows are EXACTLY the unsharded result.
+        Without this masking, pad rows turn into relu6(bias) != 0 after
+        layer 1 and bleed into real rows within the receptive field.
 
     Returns:
       dict with NHWC heads: heatmap (B,R,R',17) after sigmoid, offset
@@ -246,7 +261,16 @@ def forward(params: Dict[str, Any], x: jax.Array, cfg: ModelConfig,
     # bf16 rounding negligible for this model).
     accum = jnp.float32 if cfg.compute_dtype == jnp.float32 else None
     x = x.astype(cfg.compute_dtype)
+    vh = valid_h
+
+    def mask_pad_rows(x, vh):
+        if vh is None or vh >= x.shape[1]:
+            return x
+        rows = lax.broadcasted_iota(jnp.int32, (x.shape[1], 1), 0)
+        return x * (rows < vh).astype(x.dtype)[None, :, :, None]
+
     for layer, p in zip(plan, params['backbone']):
+        x = mask_pad_rows(x, vh)
         if layer['conv_type'] == 'input':
             x = _relu6(_conv2d(x, p['w'], p['b'], stride=layer['stride'],
                                dilation=layer['rate'], precision=precision,
@@ -258,6 +282,8 @@ def forward(params: Dict[str, Any], x: jax.Array, cfg: ModelConfig,
                                precision=precision, accum_dtype=accum))
             x = _relu6(_conv2d(x, p['pw_w'], p['pw_b'], precision=precision,
                                accum_dtype=accum))
+        if vh is not None:
+            vh = _valid_h_out(vh, layer['stride'], layer['rate'])
         x = x.astype(cfg.compute_dtype)
 
     if stop_trunk_gradient:

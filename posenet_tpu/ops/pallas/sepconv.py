@@ -134,8 +134,9 @@ def _sepconv_kernel(x_hbm, dw_w_ref, dw_b_ref, pw_w_ref, pw_b_ref, out_hbm,
         cp.wait()
 
 
-@functools.partial(jax.jit, static_argnames=('tr',))
-def sepconv_pallas(x, dw_w, dw_b, pw_w, pw_b, tr: int = 32):
+@functools.partial(jax.jit, static_argnames=('tr', 'interpret'))
+def sepconv_pallas(x, dw_w, dw_b, pw_w, pw_b, tr: int = 32,
+                   interpret: bool = False):
     """Fused stride-1 separable conv block. EXPERIMENTAL — correct and
     tested, NOT wired into the backbone. Measured findings (v5e):
     - C must currently be a multiple of 128 (Mosaic rejects DMAs whose lane
@@ -172,8 +173,9 @@ def sepconv_pallas(x, dw_w, dw_b, pw_w, pw_b, tr: int = 32):
     return pl.pallas_call(
         kernel,
         grid=(b, nt),
+        interpret=interpret,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),        # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),           # x stays in HBM
             pl.BlockSpec((9, c_in), lambda b_, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c_in), lambda b_, t: (0, 0),
@@ -183,7 +185,7 @@ def sepconv_pallas(x, dw_w, dw_b, pw_w, pw_b, tr: int = 32):
             pl.BlockSpec((1, c_out), lambda b_, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # out stays in HBM
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),     # out stays in HBM
         out_shape=jax.ShapeDtypeStruct((b, h, w, c_out), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((tr + 2, w, c_in), jnp.bfloat16),

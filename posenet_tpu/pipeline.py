@@ -38,12 +38,14 @@ def _infer(params, frames_u8, cfg: ModelConfig, decode_cfg: DecodeConfig):
         heads['displacement_bwd'], cfg.output_stride, decode_cfg)
 
 
-def _infer_cropped(params, frames_u8, crop_r, *, cfg: ModelConfig,
+def _infer_cropped(params, frames_u8, crop_r, valid_h, *, cfg: ModelConfig,
                    decode_cfg: DecodeConfig):
-    """Spatial-partition variant: forward on the H-padded frame, crop the
-    head grids back to the true `crop_r` rows, then decode."""
+    """Spatial-partition variant: forward on the H-padded frame (only the
+    first `valid_h` rows are real; `forward` masks the pad rows before every
+    3x3 conv so the result is EXACTLY the unsharded one), then crop the head
+    grids back to the true `crop_r` rows and decode."""
     x = frames_u8.astype(cfg.compute_dtype) * (2.0 / 255.0) - 1.0
-    heads = mobilenet_v1.forward(params, x, cfg)
+    heads = mobilenet_v1.forward(params, x, cfg, valid_h=valid_h)
     return decode_batch(
         heads['heatmap'][:, :crop_r], heads['offset'][:, :crop_r],
         heads['displacement_fwd'][:, :crop_r],
@@ -95,9 +97,13 @@ class PoseNetPipeline:
             if partition == 'spatial':
                 in_spec = P(None, 'data', None, None)   # shard H
                 # Stride-valid heights (16n+1) are never divisible by the
-                # mesh; __call__ zero-pads extra bottom rows (identical to
-                # the convs' own zero padding, so the first R output rows
-                # are unchanged) and the jitted fn crops the heads back.
+                # mesh; __call__ zero-pads extra bottom rows and passes the
+                # true height as `valid_h` so the backbone re-zeroes pad
+                # rows before every 3x3 conv (raw zero-padded input alone
+                # is NOT equivalent: after layer 1 pad rows would become
+                # relu6(bias) != 0 and bleed into bottom-of-image rows
+                # within the receptive field). The jitted fn then crops the
+                # heads back to the true grid.
                 fn = functools.partial(_infer_cropped, cfg=model.cfg,
                                        decode_cfg=decode_cfg)
             else:
@@ -108,7 +114,7 @@ class PoseNetPipeline:
             replicated = jax.sharding.NamedSharding(mesh, P())
             self.params = jax.device_put(model.params, replicated)
             self._fn = jax.jit(
-                fn, static_argnums=(2,) if partition == 'spatial' else (),
+                fn, static_argnums=(2, 3) if partition == 'spatial' else (),
                 in_shardings=(replicated, in_sharding),
                 out_shardings=replicated if partition == 'spatial' else None)
         else:
@@ -124,7 +130,7 @@ class PoseNetPipeline:
             pad_h = (-h) % self._n_shards
             if pad_h:
                 frames = jnp.pad(frames, ((0, 0), (0, pad_h), (0, 0), (0, 0)))
-            return self._fn(self.params, frames, crop_r)
+            return self._fn(self.params, frames, crop_r, h)
         return self._fn(self.params, frames)
 
     def warmup(self, input_hw: Tuple[int, int], batch: int = 1):

@@ -169,8 +169,12 @@ def train(train_dataset: PosenetDataset,
         if test_dataset is not None:
             eval_losses = []
             oks_vals, map_vals = [], []
+            # Under a mesh, eval_fn is jitted with in_shardings=P('data'):
+            # a trailing batch not divisible by the mesh size fails to shard
+            # (and any distinct shape recompiles), so drop the remainder.
             for batch in test_dataset.iter_batches(
-                    train_cfg.batch_size, shuffle=False, drop_remainder=False):
+                    train_cfg.batch_size, shuffle=False,
+                    drop_remainder=mesh is not None):
                 device_batch = {'image': jnp.asarray(batch['image']),
                                 'keypoints': jnp.asarray(batch['keypoints'])}
                 eval_losses.append(eval_fn(state.params, device_batch))

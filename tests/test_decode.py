@@ -228,17 +228,8 @@ def test_sepconv_pallas_matches_xla():
     tolerance; interpret mode so it runs on the CPU test backend)."""
     import jax
     from jax import lax
-    from jax.experimental import pallas as pl
 
     from posenet_tpu.ops.pallas import sepconv
-
-    # interpret mode for the CPU test backend
-    orig = pl.pallas_call
-    import functools as ft
-
-    def patched(*args, **kwargs):
-        kwargs['interpret'] = True
-        return orig(*args, **kwargs)
 
     B, H, W, C, C2 = 2, 33, 33, 128, 128
     k = jax.random.PRNGKey(0)
@@ -248,12 +239,9 @@ def test_sepconv_pallas_matches_xla():
     pw_w = jax.random.normal(k, (1, 1, C, C2), jnp.float32) * 0.1
     pw_b = jax.random.normal(k, (C2,), jnp.float32) * 0.1
 
-    sepconv.pl.pallas_call = patched
-    try:
-        ours = np.asarray(sepconv.sepconv_pallas(x, dw_w, dw_b, pw_w, pw_b),
-                          np.float32)
-    finally:
-        sepconv.pl.pallas_call = orig
+    ours = np.asarray(
+        sepconv.sepconv_pallas(x, dw_w, dw_b, pw_w, pw_b, interpret=True),
+        np.float32)
 
     y = lax.conv_general_dilated(
         x, dw_w.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],

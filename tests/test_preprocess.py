@@ -160,7 +160,12 @@ def test_pipeline_with_mesh():
 def test_pipeline_spatial_partition():
     """Spatial (height-sharded) inference over the 8-device mesh — the
     CNN analog of sequence parallelism; GSPMD inserts conv halo exchanges.
-    Results must match the unsharded pipeline."""
+    Results must match the unsharded pipeline.
+
+    Biases are inflated to make pad-row leakage visible: without the
+    backbone's valid_h masking, zero-padded bottom input rows turn into
+    relu6(bias) != 0 after layer 1 and shift bottom-of-image heads (random
+    near-zero init biases would mask that bug)."""
     import jax
 
     from posenet_tpu.config import DecodeConfig
@@ -170,6 +175,12 @@ def test_pipeline_spatial_partition():
 
     mesh = make_mesh(8)
     model = load_model(50, output_stride=16, allow_random_init=True)
+    params = jax.tree.map(lambda a: a, model.params)
+    for layer in params['backbone']:
+        for k in layer:
+            if k.endswith('b'):
+                layer[k] = layer[k] + 1.0  # realistic-checkpoint-scale biases
+    model = type(model)(params, model.cfg)
     dcfg = DecodeConfig(min_pose_score=0.0, score_threshold=0.3,
                         max_candidates=32)
     frames = np.random.RandomState(7).randint(
@@ -180,6 +191,6 @@ def test_pipeline_spatial_partition():
     out_a = plain(frames)
     out_b = spatial(frames)
     np.testing.assert_allclose(np.asarray(out_a.pose_scores),
-                               np.asarray(out_b.pose_scores), atol=1e-4)
+                               np.asarray(out_b.pose_scores), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_a.keypoint_coords),
-                               np.asarray(out_b.keypoint_coords), atol=0.1)
+                               np.asarray(out_b.keypoint_coords), atol=1e-3)
