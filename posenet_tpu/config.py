@@ -72,6 +72,12 @@ class TrainConfig:
     heads_only: bool = True            # reference freezes the backbone (train.py:620-634)
     checkpoint_dir: str = "./_train_ckpt"
     keypoint_dir: str = "./keypoints_updated"  # reference train.py:1018
+    # Visual diagnostics: every `visual_every` epochs, dump predicted
+    # heatmap channels + keypoint overlays for the first eval batch under
+    # `output_dir` (the reference dumps EVERY item EVERY step,
+    # train.py:672-716 — here off by default, 0 = never).
+    output_dir: str = "./output"
+    visual_every: int = 0
     # Data parallelism: number of devices in the ('data',) mesh. None = all.
     num_devices: Optional[int] = None
     seed: int = 0

@@ -19,9 +19,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = 'data'
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """Multi-host entry point: join a multi-process JAX runtime so
+    `jax.devices()` spans every host's chips and `make_mesh()` builds a
+    global mesh (gradient all-reduce rides ICI within a slice, DCN across
+    slices — SURVEY.md §2.3/§5 comm-layer plan).
+
+    On TPU pods the arguments are auto-detected from the environment;
+    elsewhere pass coordinator/process explicitly. Idempotent: calling in a
+    single-process job (or twice) is a no-op. Returns the process index.
+    """
+    if jax.process_count() > 1:
+        return jax.process_index()  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except (ValueError, RuntimeError) as e:
+        # Single-process run with no coordinator configured: stay local.
+        if coordinator_address is not None or num_processes not in (None, 1):
+            raise
+        if jax.process_count() == 1:
+            return 0
+        raise e
+    return jax.process_index()
+
+
 def make_mesh(num_devices: Optional[int] = None,
               devices=None) -> Mesh:
-    """1-D data-parallel mesh over the first `num_devices` devices."""
+    """1-D data-parallel mesh over the first `num_devices` devices.
+
+    In a multi-host job (after `initialize_distributed`), `jax.devices()`
+    is the global device list, so the same call produces a cross-host DP
+    mesh; each process feeds only its addressable shard of the batch."""
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:

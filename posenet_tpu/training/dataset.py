@@ -11,13 +11,21 @@ yield (image, keypoints, ...) items. Differences by design:
   never depends on same-sized inputs (the reference defines torchvision
   transforms but never applies them and silently requires equal sizes —
   SURVEY.md Appendix B8).
-- `iter_batches` is a simple epoch iterator with host-side shuffling; the
-  heavy work (target synthesis) happens inside the jitted loss.
+- `iter_batches` overlaps host image decode with device compute: batch
+  assembly uses a thread pool (cv2 releases the GIL) and a bounded
+  prefetch queue double-buffers whole batches, so an 8-chip DP step is
+  never input-bound on the serial per-item cv2 loop the reference runs
+  (train.py:491-526 re-reads and re-resizes every image every epoch).
+  `cache_images=True` additionally keeps the decoded+resized uint8 frames
+  in RAM after the first epoch (~0.8 MB per 513x513 image).
 """
 
 from __future__ import annotations
 
 import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -43,12 +51,16 @@ class PosenetDataset:
 
     def __init__(self, image_dir: str, keypoints_dir: str,
                  image_size: int = 513, output_stride: int = 16,
-                 scale_factor: float = 1.0):
+                 scale_factor: float = 1.0, cache_images: bool = True,
+                 num_workers: int = 4):
         self.image_dir = image_dir
         self.keypoints_dir = keypoints_dir
         self.image_size = image_size
         self.output_stride = output_stride
         self.scale_factor = scale_factor
+        self.num_workers = max(1, num_workers)
+        self._cache: Optional[Dict[int, np.ndarray]] = {} if cache_images else None
+        self._cache_lock = threading.Lock()
 
         files = sorted(
             f for f in os.listdir(image_dir)
@@ -85,16 +97,29 @@ class PosenetDataset:
     def __len__(self) -> int:
         return len(self.files)
 
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+    def _load_u8(self, idx: int) -> np.ndarray:
+        """Decoded + resized RGB uint8 frame (cached after first access)."""
         import cv2
 
+        if self._cache is not None:
+            with self._cache_lock:
+                cached = self._cache.get(idx)
+            if cached is not None:
+                return cached
         path = os.path.join(self.image_dir, self.files[idx])
         img = cv2.imread(path)
         if img is None:
             raise IOError(f'could not read {path}')
         img = cv2.resize(img, (self.image_size, self.image_size),
                          interpolation=cv2.INTER_LINEAR)
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if self._cache is not None:
+            with self._cache_lock:
+                self._cache[idx] = img
+        return img
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        img = self._load_u8(idx).astype(np.float32)
         img = img * (2.0 / 255.0) - 1.0            # same normalization as inference
         return {
             'image': img,                                   # (S, S, 3) NHWC
@@ -103,23 +128,66 @@ class PosenetDataset:
             'filename': self.files[idx],
         }
 
+    def _make_batch(self, idxs, pool: Optional[ThreadPoolExecutor]
+                    ) -> Dict[str, np.ndarray]:
+        idxs = [int(i) for i in idxs]
+        if pool is not None:
+            frames = list(pool.map(self._load_u8, idxs))
+        else:
+            frames = [self._load_u8(i) for i in idxs]
+        images = np.stack(frames).astype(np.float32) * (2.0 / 255.0) - 1.0
+        return {
+            'image': images,
+            'keypoints': self.keypoints[idxs],
+            'filenames': [self.files[i] for i in idxs],
+        }
+
     def iter_batches(self, batch_size: int, shuffle: bool = True,
-                     seed: int = 0, drop_remainder: bool = True
-                     ) -> Iterator[Dict[str, np.ndarray]]:
-        """Epoch iterator yielding stacked numpy batches."""
+                     seed: int = 0, drop_remainder: bool = True,
+                     prefetch: int = 2) -> Iterator[Dict[str, np.ndarray]]:
+        """Epoch iterator yielding stacked numpy batches.
+
+        `prefetch` > 0 assembles batches on a background thread (bounded
+        queue, so at most `prefetch` batches are in flight) while the
+        consumer's device step runs; image decode within a batch fans out
+        over a thread pool. `prefetch=0` is fully synchronous.
+        """
         order = np.arange(len(self))
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
         n = (len(self) // batch_size * batch_size if drop_remainder
              else len(self))
-        for start in range(0, n, batch_size):
-            idxs = order[start:start + batch_size]
-            items = [self[int(i)] for i in idxs]
-            yield {
-                'image': np.stack([it['image'] for it in items]),
-                'keypoints': np.stack([it['keypoints'] for it in items]),
-                'filenames': [it['filename'] for it in items],
-            }
+        starts = range(0, n, batch_size)
+
+        if prefetch <= 0:
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for start in starts:
+                    yield self._make_batch(order[start:start + batch_size], pool)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        _END = object()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for start in starts:
+                        q.put(self._make_batch(
+                            order[start:start + batch_size], pool))
+                q.put(_END)
+            except BaseException as e:  # surfaced on the consumer side
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
 
 
 def get_dataset_mean_std(dataset: PosenetDataset) -> Tuple[np.ndarray, np.ndarray]:

@@ -179,19 +179,23 @@ def prepare_ground_truth_data(images_dir: str, keypoints_dir: str,
                               heatmap_shape: Tuple[int, int] = HEATMAP_SHAPE,
                               keypoints_updated_dir: str = "keypoints_updated",
                               annotation_format: str = "dataloop",
-                              save_heatmap_arrays: bool = False) -> List[str]:
+                              save_heatmap_arrays: bool = False,
+                              save_heatmap_images: bool = False) -> List[str]:
     """For every image with a matching annotation file, write
     `<stem>/<stem>_keypoints.txt` and `<stem>/<stem>_generated.txt` under
     `keypoints_updated_dir` (flattened (num_poses*17, 2) CSV — reference
     format, ground_truth_dataloop.py:85-92). Returns processed stems.
 
     `annotation_format`: 'dataloop' (JSON, multi-person) or 'roboflow'
-    (txt, single-person). Heatmap .npy dumps are optional (the reference
-    writes npy+png per keypoint per pose — expensive and unused by
-    training, which regenerates heatmaps at load time).
+    (txt, single-person). Heatmap dumps are optional and off by default
+    (the reference always writes npy+png per keypoint per pose,
+    ground_truth_dataloop.py:173-204 — expensive and unused by training,
+    which regenerates heatmaps at load time): `save_heatmap_arrays` writes
+    the stacked npy, `save_heatmap_images` the per-pose/per-keypoint pngs
+    under `heatmaps_dir/<stem>/pose_<p>/png/heatmap_<k>.png`.
     """
     os.makedirs(keypoints_updated_dir, exist_ok=True)
-    if save_heatmap_arrays:
+    if save_heatmap_arrays or save_heatmap_images:
         os.makedirs(heatmaps_dir, exist_ok=True)
 
     ext = ".json" if annotation_format == "dataloop" else ".txt"
@@ -225,8 +229,29 @@ def prepare_ground_truth_data(images_dir: str, keypoints_dir: str,
             np.save(os.path.join(out, "heatmaps.npy"), heatmaps)
             np.save(os.path.join(out, "offset_vectors.npy"),
                     offset_vectors(keypoints, generated))
+        if save_heatmap_images:
+            save_heatmap_pngs(heatmaps, os.path.join(heatmaps_dir, stem))
         processed.append(stem)
     return processed
+
+
+def save_heatmap_pngs(heatmaps: np.ndarray, out_dir: str) -> None:
+    """Per-pose/per-keypoint png dumps (reference
+    ground_truth_dataloop.py:173-204 save_heatmaps, minus its matplotlib
+    dependency — max-normalized colormapped cv2 writes)."""
+    import cv2
+
+    hm = np.asarray(heatmaps)
+    for p in range(hm.shape[0]):
+        png_dir = os.path.join(out_dir, f"pose_{p}", "png")
+        os.makedirs(png_dir, exist_ok=True)
+        for k in range(hm.shape[1]):
+            ch = hm[p, k]
+            hi = float(ch.max())
+            norm = ch / hi if hi > 0 else ch
+            cv2.imwrite(os.path.join(png_dir, f"heatmap_{k}.png"),
+                        cv2.applyColorMap((norm * 255).astype(np.uint8),
+                                          cv2.COLORMAP_HOT))
 
 
 def load_ground_truth_data(image_file_names: Sequence[str],

@@ -116,6 +116,45 @@ def evaluate_poses(params, batch, model_cfg: ModelConfig,
             float(np.mean(maps)) if maps else 0.0)
 
 
+def dump_visual_diagnostics(params, batch, dataset: PosenetDataset,
+                            model_cfg: ModelConfig, decode_cfg: DecodeConfig,
+                            output_dir: str, epoch: int):
+    """Write predicted heatmap channels + keypoint overlays for one batch
+    (the reference's per-step dumps, train.py:672-716 + visualizers.py,
+    at a per-epoch cadence under `output_dir`)."""
+    import visualizers
+
+    out = mobilenet_v1.forward_jit(params, jnp.asarray(batch['image']),
+                                   model_cfg)
+    decoded = decode_batch(out['heatmap'], out['offset'],
+                           out['displacement_fwd'], out['displacement_bwd'],
+                           model_cfg.output_stride, decode_cfg)
+    heatmaps = np.asarray(out['heatmap']).transpose(0, 3, 1, 2)  # (B,17,R,R)
+    pose_scores = np.asarray(decoded.pose_scores)
+    kp_scores = np.asarray(decoded.keypoint_scores)
+    kp_coords = np.asarray(decoded.keypoint_coords)
+
+    epoch_dir = os.path.join(output_dir, f'epoch_{epoch}')
+    for b, fname in enumerate(batch['filenames']):
+        stem = os.path.splitext(fname)[0]
+        item_dir = os.path.join(epoch_dir, stem)
+        visualizers.print_heatmap(heatmaps[b], output_dir=item_dir,
+                                  use_matplotlib=False)
+        image_path = os.path.join(dataset.image_dir, fname)
+        # overlay on the original image: decode coords are in resized-input
+        # px, so scale by original/resized per (y, x)
+        import cv2
+        orig = cv2.imread(image_path)
+        if orig is None:
+            continue
+        scale = np.array([orig.shape[0] / batch['image'].shape[1],
+                          orig.shape[1] / batch['image'].shape[2]])
+        visualizers.draw_coordinates_to_image_file(
+            image_path, os.path.join(item_dir, stem + '_keypoints.jpg'),
+            pose_scores[b], kp_scores[b], kp_coords[b], scale,
+            min_pose_score=0.25, min_part_score=0.25)
+
+
 def train(train_dataset: PosenetDataset,
           test_dataset: Optional[PosenetDataset],
           train_cfg: TrainConfig,
@@ -199,6 +238,16 @@ def train(train_dataset: PosenetDataset,
                 no_improve += 1
         else:
             save_checkpoint(train_cfg.checkpoint_dir, state)
+
+        if (train_cfg.visual_every > 0
+                and epoch % train_cfg.visual_every == 0):
+            vis_ds = test_dataset if test_dataset is not None else train_dataset
+            vis_batch = next(vis_ds.iter_batches(
+                min(train_cfg.batch_size, len(vis_ds)), shuffle=False,
+                drop_remainder=True))
+            dump_visual_diagnostics(state.params, vis_batch, vis_ds,
+                                    model_cfg, decode_cfg,
+                                    train_cfg.output_dir, epoch)
 
         log['epoch_time_s'] = time.time() - t0
         logger.log(log, step=int(state.step))

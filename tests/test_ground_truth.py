@@ -115,6 +115,40 @@ def test_prepare_and_load_roundtrip(tmp_path):
     np.testing.assert_allclose(offs[0, 0, 0], [0.5, 0.5])
 
 
+def test_prepare_with_heatmap_pngs(tmp_path):
+    """save_heatmap_images writes per-pose/per-keypoint png dumps (reference
+    ground_truth_dataloop.py:173-204 always writes them; ours are opt-in)."""
+    import cv2
+
+    images = tmp_path / "images"
+    labels = tmp_path / "labels"
+    images.mkdir(); labels.mkdir()
+    cv2.imwrite(str(images / "a.jpg"), np.zeros((100, 100, 3), np.uint8))
+    ann = {
+        "metadata": {"system": {"height": 100, "width": 100}},
+        "annotations": [
+            {"type": "pose", "id": "p1"},
+            {"type": "point", "label": "Nose",
+             "metadata": {"system": {"parentId": "p1"}},
+             "coordinates": {"x": 50.0, "y": 50.0}},
+        ],
+    }
+    (labels / "a.json").write_text(json.dumps(ann))
+
+    gt.prepare_ground_truth_data(
+        str(images), str(labels),
+        keypoints_updated_dir=str(tmp_path / "kp"),
+        heatmaps_dir=str(tmp_path / "heatmaps"),
+        save_heatmap_images=True)
+    png = tmp_path / "heatmaps" / "a" / "pose_0" / "png" / "heatmap_0.png"
+    assert png.exists()
+    img = cv2.imread(str(png))
+    assert img is not None and img.shape == (33, 33, 3)
+    # all 17 keypoint channels dumped
+    pngs = list((tmp_path / "heatmaps" / "a" / "pose_0" / "png").iterdir())
+    assert len(pngs) == 17
+
+
 # ---------------------------------------------------------------------------
 # Metrics
 # ---------------------------------------------------------------------------

@@ -49,6 +49,27 @@ def make_synthetic_dataset(root, n_images=4, image_size=65):
     return images, kpdir
 
 
+def test_dataset_prefetch_matches_sync(tmp_path):
+    """Prefetched (threaded, double-buffered) batches must be identical to
+    the synchronous path, for both cached and uncached image loading."""
+    images, kpdir = make_synthetic_dataset(str(tmp_path), n_images=5)
+    ds_sync = PosenetDataset(images, kpdir, image_size=65, output_stride=16,
+                             cache_images=False)
+    ds_pre = PosenetDataset(images, kpdir, image_size=65, output_stride=16,
+                            cache_images=True)
+
+    sync = list(ds_sync.iter_batches(2, shuffle=True, seed=3, prefetch=0))
+    pre = list(ds_pre.iter_batches(2, shuffle=True, seed=3, prefetch=2))
+    assert len(sync) == len(pre) == 2  # drop_remainder
+    for a, b in zip(sync, pre):
+        np.testing.assert_array_equal(a['image'], b['image'])
+        np.testing.assert_array_equal(a['keypoints'], b['keypoints'])
+        assert a['filenames'] == b['filenames']
+    # second (cached) epoch identical
+    again = list(ds_pre.iter_batches(2, shuffle=True, seed=3, prefetch=2))
+    np.testing.assert_array_equal(pre[0]['image'], again[0]['image'])
+
+
 def test_checkpoint_roundtrip(tmp_path):
     model_cfg = ModelConfig(model_id=50, output_stride=16)
     train_cfg = TrainConfig(model_id=50)
@@ -95,6 +116,35 @@ def test_train_loop_end_to_end(tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt")), logger=MetricLogger(verbose=False),
         resume=True, eval_pose_metrics=False)
     assert int(state2.step) > int(state.step) - 4  # resumed, not restarted
+
+
+def test_train_visual_diagnostics(tmp_path):
+    """visual_every=1 + output_dir must dump per-keypoint heatmap pngs and
+    keypoint overlays each epoch (the reference's per-step dumps,
+    train.py:672-716, at configurable cadence and off by default)."""
+    images, kpdir = make_synthetic_dataset(str(tmp_path), n_images=2)
+    ds = PosenetDataset(images, kpdir, image_size=65, output_stride=16)
+    out_dir = str(tmp_path / "output")
+    cfg = TrainConfig(model_id=50, output_stride=16, batch_size=2,
+                      num_epochs=1, checkpoint_dir=str(tmp_path / "ckpt"),
+                      output_dir=out_dir, visual_every=1)
+    train(ds, ds, cfg, logger=MetricLogger(verbose=False), resume=False,
+          eval_pose_metrics=False)
+
+    epoch_dir = os.path.join(out_dir, 'epoch_0')
+    assert os.path.isdir(epoch_dir)
+    item_dirs = sorted(os.listdir(epoch_dir))
+    assert item_dirs  # one dir per batch item
+    item = os.path.join(epoch_dir, item_dirs[0])
+    # heatmap channel dumps (visualizers.print_heatmap layout)
+    assert os.path.exists(os.path.join(item, 'image_0',
+                                       'joint_0_heatmap.png'))
+    # skeleton overlay at original image resolution
+    overlay = os.path.join(item, item_dirs[0] + '_keypoints.jpg')
+    assert os.path.exists(overlay)
+    import cv2
+    img = cv2.imread(overlay)
+    assert img is not None and img.shape[:2] == (80, 80)
 
 
 def test_train_loop_with_pose_metrics(tmp_path):

@@ -43,11 +43,24 @@ def parse_args():
                         choices=['dataloop', 'roboflow'])
     parser.add_argument('--allow_random_init', action='store_true')
     parser.add_argument('--no_pose_metrics', action='store_true')
+    parser.add_argument('--distributed', action='store_true',
+                        help='multi-host: join the jax.distributed runtime '
+                             'before building the device mesh (auto-detects '
+                             'coordinator on TPU pods)')
+    parser.add_argument('--visual_every', type=int, default=0,
+                        help='dump predicted-heatmap pngs + keypoint '
+                             'overlays under --output_dir every N epochs '
+                             '(0 = off; the reference dumps every step, '
+                             'train.py:672-716)')
     return parser.parse_args()
 
 
 def main():
     args = parse_args()
+
+    if args.distributed:
+        proc = mesh_lib.initialize_distributed()
+        print(f'distributed: process {proc}/{__import__("jax").process_count()}')
 
     if args.prepare_gt:
         from posenet_tpu.training.ground_truth import prepare_ground_truth_data
@@ -66,6 +79,7 @@ def main():
         batch_size=args.batch_size, learning_rate=args.lr,
         num_epochs=args.num_epochs, checkpoint_dir=args.checkpoint_dir,
         keypoint_dir=args.keypoint_dir,
+        output_dir=args.output_dir, visual_every=args.visual_every,
         num_devices=args.num_devices or None)
 
     model = model_factory.load_model(
