@@ -232,6 +232,7 @@ def test_sepconv_pallas_matches_xla():
     from posenet_tpu.ops.pallas import sepconv
 
     B, H, W, C, C2 = 2, 33, 33, 128, 128
+    WP, WO = 40, 48   # physical padded widths (W % 8 Mosaic DMA alignment)
     k = jax.random.PRNGKey(0)
     x = jax.random.normal(k, (B, H, W, C), jnp.bfloat16)
     dw_w = jax.random.normal(k, (3, 3, 1, C), jnp.float32) * 0.2
@@ -239,9 +240,16 @@ def test_sepconv_pallas_matches_xla():
     pw_w = jax.random.normal(k, (1, 1, C, C2), jnp.float32) * 0.1
     pw_b = jax.random.normal(k, (C2,), jnp.float32) * 0.1
 
-    ours = np.asarray(
-        sepconv.sepconv_pallas(x, dw_w, dw_b, pw_w, pw_b, interpret=True),
+    # pad cols carry garbage the kernel must re-zero on load
+    xp = jnp.concatenate(
+        [x, 99.0 * jnp.ones((B, H, WP - W, C), jnp.bfloat16)], axis=2)
+    out = np.asarray(
+        sepconv.sepconv_pallas(xp, dw_w, dw_b, pw_w, pw_b,
+                               valid_w=W, out_w=WO, interpret=True),
         np.float32)
+    assert out.shape == (B, H, WO, C2)
+    assert (out[:, :, W:] == 0).all()  # output pad cols zeroed
+    ours = out[:, :, :W]
 
     y = lax.conv_general_dilated(
         x, dw_w.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
