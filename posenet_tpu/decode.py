@@ -422,10 +422,15 @@ def decode_batch(heatmap, offsets, dfwd, dbwd, output_stride: int,
     h, w = heatmap.shape[1], heatmap.shape[2]
     use_pallas = cfg.use_pallas
     if use_pallas is None:
-        # The kernel holds split tables + the (K, H*W) one-hot in VMEM;
-        # beyond ~4k cells (e.g. stride-8 720p: 91x161) it no longer fits
-        # a 16MB VMEM budget and the XLA path takes over.
-        use_pallas = jax.default_backend() == 'tpu' and h * w <= 4096
+        # The v2 row-gather kernel holds per-target split tables
+        # (H*W*690 B/image, double-buffered) in VMEM; grids up to ~17k
+        # cells fit — including stride-8 720p (91x161), which v1's
+        # (K, H*W) one-hot design could not. Larger grids (e.g. stride-8
+        # 1080p) fall back to the XLA gather path.
+        from posenet_tpu.ops.pallas.traversal import (_TABLE_BYTES_PER_CELL,
+                                                      _VMEM_TABLE_BUDGET)
+        use_pallas = (jax.default_backend() == 'tpu'
+                      and 2 * h * w * _TABLE_BYTES_PER_CELL <= _VMEM_TABLE_BUDGET)
     if not use_pallas:
         return jax.vmap(
             lambda h, o, f, b: decode_single(h, o, f, b, output_stride, cfg)

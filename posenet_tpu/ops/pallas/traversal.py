@@ -3,27 +3,58 @@
 The decoder's tree walk is gather-bound in XLA: every edge hop fetches
 displacement/score/offset rows at data-dependent cells, and TPU gather
 throughput (~50M rows/s) caps the walk at ~20 ms/batch128 no matter how the
-ops are batched. This kernel replaces each gather with a **one-hot matmul
-held entirely in VMEM**: rows = onehot(cells) @ table runs on the MXU, and
-the one-hot operand never touches HBM.
+ops are batched. This kernel replaces each gather with **one-hot matmuls
+held entirely in VMEM** so the fetches run on the MXU.
 
-Exactness: gathered values must be bit-identical to real gathers (an ulp of
-coordinate noise flips clip(round(coord/stride)) at cell boundaries). Two
-ingredients guarantee that:
-- tables are decomposed into an exact 3-way bf16 split (f32 = hi+mid+lo —
-  each residual has <= 8 significant bits, so three bf16 pieces are exact),
-- the one-hot lhs is exactly representable in bf16 (0.0/1.0), so the
-  default-precision MXU pass accumulates exact products in f32.
-The traversal itself walks the 16 backward then 16 forward edge hops as a
-`lax.fori_loop` with edge metadata in constant arrays (a rolled loop keeps
-Mosaic compile time ~10x lower than unrolling 32 hop bodies), with state as
+v2 — two-stage row-gather over per-target tables. v1 fetched whole table
+rows with a (K, H*W) one-hot against (H*W, 153/96) split tables: 27 MXU
+passes and a 139k-element one-hot build per hop, ~6 ms/batch128, and VMEM
+capped it at ~4k grid cells (stride-8 720p fell back to XLA). v2 instead:
+
+1. The HOST pre-arranges per-target tables: sov (B, 17, H, W*9) — for
+   target keypoint t, row y, column x*9 + (3*split + field) holds the
+   bf16 split piece of [score_t, off_y_t, off_x_t] at cell (y, x); disp
+   tables likewise (B, 16, H, W*6) per edge. Pure XLA transposes, fused.
+2. Per hop, the kernel row-gathers with a tiny (K, H) one-hot:
+   rows = onehot_row @ table[t]  ->  (K, W*nf) — each output element is a
+   single 1.0*bf16 product accumulated in f32, i.e. an exact copy.
+3. Column select + field reduce: zero all but the candidate's column
+   (lane-iota compare) and multiply by a static 0/1 group matrix
+   G (W*nf, fields) on the MXU — the hi+mid+lo split pieces sum INSIDE the
+   f32 matmul accumulation.
+
+Per hop that is 5-6 MXU passes and a (K, H) one-hot instead of 27 passes
+and a (K, H*W) one-hot; VMEM scales as H*W*690 bytes/image, so the
+stride-8 720p grid (91x161) now fits at group=1 and no longer needs the
+XLA fallback.
+
+Exactness (bit-identical to the XLA gather path — an ulp of coordinate
+noise flips clip(round(coord/stride)) at cell boundaries):
+- tables are decomposed into an exact 3-way bf16 split (f32 = hi+mid+lo;
+  each residual carries <= 8 significant bits, so three bf16 pieces are
+  exact),
+- one-hot / group-matrix operands are exactly representable in bf16
+  (0.0/1.0), so every MXU product is exact in f32,
+- hi, mid, lo have non-overlapping significands, so their f32 sum is exact
+  under ANY accumulation order — including inside a matmul k-reduction.
+
+The traversal walks the 16 backward then 16 forward edge hops as a
+`lax.fori_loop` with edge metadata in SMEM (a rolled loop keeps Mosaic
+compile time ~10x lower than unrolling 32 hop bodies), with state as
 (17, K) carries. Fill gating is exact reference semantics
-(score > 0 / score == 0, reference decode.py:152-178); hop arithmetic is
-identical to the XLA path (golden-tested against the PyTorch reference).
+(score > 0 / score == 0, reference decode.py:152-178).
 
-Grid: one program per batch image; per-image tables (H*W x 51 score+offset,
-H*W x 32 displacement) stream HBM->VMEM through the standard pallas block
-pipeline (double-buffered across grid steps).
+Measured equality (v5e, random multi-person heads, K=128): this kernel is
+bit-identical to the XLA traversal ON CPU (reference semantics: every
+mul/add individually f32-rounded). The XLA traversal ON TPU itself drifts
+on a handful of knife-edge cells (--xla_allow_excess_precision lets XLA
+contract `cell*stride + offset` into an FMA, and one ulp flips
+clip(round(coord/stride))) — so on TPU hardware this kernel is MORE
+faithful to the PyTorch reference than the XLA fallback it replaces.
+
+Grid: `group` images per program; per-image tables stream HBM->VMEM
+through the standard pallas block pipeline (double-buffered across grid
+steps).
 """
 
 from __future__ import annotations
@@ -40,6 +71,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from posenet_tpu.constants import NUM_EDGES, NUM_KEYPOINTS
 
+# Per-image VMEM for the split tables, bytes: 17*(W*9) + 2*16*(W*6) bf16
+# columns per row = H*W*(153+192)*2.
+_TABLE_BYTES_PER_CELL = (NUM_KEYPOINTS * 9 + 2 * NUM_EDGES * 6) * 2
+# Pipeline double-buffers input blocks; keep 2*group*tables under this.
+_VMEM_TABLE_BUDGET = 24 * 1024 * 1024
+
 
 def _hop_metadata():
     """(edge_id, source_kp, target_kp) int32 arrays for the 16 backward and
@@ -54,7 +91,35 @@ def _hop_metadata():
     return flat(_BWD_LEVELS), flat(_FWD_LEVELS)
 
 
-def _traversal_kernel(meta_ref, sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
+def _split3(x):
+    """Exact 3-way bf16 decomposition along the last axis: for f32 input,
+    concat(hi, mid, lo) with x == hi + mid + lo exactly.
+
+    Rounding to the bf16 grid uses lax.reduce_precision, NOT an
+    f32->bf16->f32 cast pair: this runs host-side under XLA, where
+    --xla_allow_excess_precision=true (set on this TPU runtime) elides the
+    round-trip cast, silently zeroing the mid/lo residuals."""
+    hi = lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    r = x - hi
+    mid = lax.reduce_precision(r, exponent_bits=8, mantissa_bits=7)
+    lo = r - mid
+    return jnp.concatenate([hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+                            lo.astype(jnp.bfloat16)], axis=-1)
+
+
+def _per_group_tables(table, h, w, n_fields, n_groups):
+    """(B, H*W, n_fields*n_groups) f32 with column = n_groups*f + g  ->
+    (B, n_groups, H, W*3*n_fields) bf16 split tables with column
+    x*(3*n_fields) + (3*split + field)."""
+    b = table.shape[0]
+    t = table.reshape(b, h, w, n_fields, n_groups)
+    t = jnp.transpose(t, (0, 4, 1, 2, 3))            # (B, G, H, W, F)
+    t = _split3(t)                                   # (B, G, H, W, 3F)
+    return t.reshape(b, n_groups, h, w * 3 * n_fields)
+
+
+def _traversal_kernel(meta_ref, colmap9_ref, colmap6_ref, g9_ref, g6_ref,
+                      sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
                       cand_kp_ref, root_y_ref, root_x_ref,
                       out_scores_ref, out_cy_ref, out_cx_ref,
                       out_oy_ref, out_ox_ref,
@@ -63,48 +128,46 @@ def _traversal_kernel(meta_ref, sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
     # Each program decodes `group` images (amortizes per-program pipeline
     # overhead over the grid); the per-image body is unrolled.
     for g in range(group):
-        _traverse_one(meta_ref, sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
+        _traverse_one(meta_ref, colmap9_ref, colmap6_ref, g9_ref, g6_ref,
+                      sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
                       cand_kp_ref, root_y_ref, root_x_ref, out_scores_ref,
                       out_cy_ref, out_cx_ref, out_oy_ref, out_ox_ref,
                       g=g, h=h, w=w, k=k, stride=stride)
 
 
-def _traverse_one(meta_ref, sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
+def _traverse_one(meta_ref, colmap9_ref, colmap6_ref, g9_ref, g6_ref,
+                  sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
                   cand_kp_ref, root_y_ref, root_x_ref,
                   out_scores_ref, out_cy_ref, out_cx_ref,
                   out_oy_ref, out_ox_ref,
                   *, g: int, h: int, w: int, k: int, stride: float):
-    hw = h * w
     # meta_ref (SMEM, (6, 16) int32): rows = bwd_e, bwd_s, bwd_t, fwd_e,
     # fwd_s, fwd_t (see _hop_metadata).
-
     cand_kp = cand_kp_ref[g, 0, :]                  # (K,) int32
     cand_scores = cand_scores_ref[g, 0, :]          # (K,)
     root_y = root_y_ref[g, 0, :]
     root_x = root_x_ref[g, 0, :]
 
-    col_ids = lax.broadcasted_iota(jnp.int32, (k, hw), 1)
+    row_iota = lax.broadcasted_iota(jnp.int32, (k, h), 1)
+    # lane -> source-column maps and 0/1 field-group matrices, host-built
+    # constants (in-kernel 2-D iota/mod builds of these miscompiled on
+    # real hardware: the G matmul silently dropped the mid/lo split rows).
+    col_of9 = colmap9_ref[:, :]                     # (1, W*9) int32
+    col_of6 = colmap6_ref[:, :]                     # (1, W*6)
+    g9 = g9_ref[:, :]                               # (W*9, 3) bf16
+    g6 = g6_ref[:, :]                               # (W*6, 2) bf16
 
-    def split3(table):
-        """Exact 3-way bf16 decomposition: table == hi + mid + lo in f32."""
-        hi = table.astype(jnp.bfloat16)
-        r = table - hi.astype(jnp.float32)
-        mid = r.astype(jnp.bfloat16)
-        lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        return jnp.concatenate([hi, mid, lo], axis=1)
-
-    def fetch_rows(table3, c, cells):
-        """rows[i] = table[cells[i]] via one-hot MXU matmul (exact)."""
-        onehot = (col_ids == cells[:, None]).astype(jnp.bfloat16)
-        out3 = jax.lax.dot_general(
-            onehot, table3,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+    def fetch(tbl, col_of, gmat, iy, ix):
+        """Exact table fetch at integer cells (iy, ix): (K, fields) f32."""
+        onehot = (row_iota == iy[:, None]).astype(jnp.bfloat16)   # (K, H)
+        rows = lax.dot_general(                                    # (K, W*nf)
+            onehot, tbl, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return out3[:, :c] + out3[:, c:2 * c] + out3[:, 2 * c:3 * c]
-
-    sov3 = split3(sov_ref[g])                       # (HW, 153) bf16
-    dfwd3 = split3(dfwd_ref[g])                     # (HW, 96) bf16
-    dbwd3 = split3(dbwd_ref[g])
+        sel = jnp.where(col_of == ix[:, None], rows, 0.0
+                        ).astype(jnp.bfloat16)  # exact: entries are bf16
+        return lax.dot_general(                                    # (K, nf)
+            sel, gmat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     # Initial state: (17, K) planes, root rows seeded from the candidates.
     row_ids = lax.broadcasted_iota(jnp.int32, (NUM_KEYPOINTS, k), 0)
@@ -114,12 +177,9 @@ def _traverse_one(meta_ref, sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
     cx0 = jnp.where(is_root, root_x[None, :], 0.0)
     zeros = jnp.zeros((NUM_KEYPOINTS, k), jnp.float32)
 
-    # Mosaic has no dynamic_slice on values; dynamic row/column selection is
-    # expressed as mask-and-reduce over the tiny (17, K) / (K, c) shapes —
-    # a handful of VPU ops per hop.
+    # Mosaic has no dynamic_slice on values; dynamic row selection on the
+    # tiny (17, K) state planes is mask-and-reduce — a few VPU ops per hop.
     kp_rows = lax.broadcasted_iota(jnp.int32, (NUM_KEYPOINTS, k), 0)
-    disp_cols = lax.broadcasted_iota(jnp.int32, (k, 2 * NUM_EDGES), 1)
-    sov_cols = lax.broadcasted_iota(jnp.int32, (k, 3 * NUM_KEYPOINTS), 1)
 
     def read_row(plane, idx):
         """plane (17, K), idx scalar -> (K,)."""
@@ -130,11 +190,7 @@ def _traverse_one(meta_ref, sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
         sel = (kp_rows == idx) & mask[None, :]
         return jnp.where(sel, values[None, :], plane)
 
-    def read_col(rows, cols_iota, idx):
-        """rows (K, c), idx scalar -> (K,)."""
-        return jnp.sum(jnp.where(cols_iota == idx, rows, 0.0), axis=1)
-
-    def make_hop(disp3, row0):
+    def make_hop(disp_ref, row0):
 
         def hop(i, state):
             scores, cy, cx, oy, ox = state
@@ -149,19 +205,19 @@ def _traverse_one(meta_ref, sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
             xs = read_row(cx, s)
             src_iy = jnp.clip(jnp.round(ys / stride), 0.0, h - 1.0)
             src_ix = jnp.clip(jnp.round(xs / stride), 0.0, w - 1.0)
-            src_cells = (src_iy * w + src_ix).astype(jnp.int32)
 
-            drow = fetch_rows(disp3, 2 * NUM_EDGES, src_cells)  # (K, 32)
-            ny = ys + read_col(drow, disp_cols, e)
-            nx = xs + read_col(drow, disp_cols, NUM_EDGES + e)
+            dvals = fetch(disp_ref[g, e], col_of6, g6,
+                          src_iy.astype(jnp.int32), src_ix.astype(jnp.int32))
+            ny = ys + dvals[:, 0]
+            nx = xs + dvals[:, 1]
             tgt_iy = jnp.clip(jnp.round(ny / stride), 0.0, h - 1.0)
             tgt_ix = jnp.clip(jnp.round(nx / stride), 0.0, w - 1.0)
-            tgt_cells = (tgt_iy * w + tgt_ix).astype(jnp.int32)
 
-            trow = fetch_rows(sov3, 3 * NUM_KEYPOINTS, tgt_cells)  # (K, 51)
-            sc = read_col(trow, sov_cols, t)
-            oyn = read_col(trow, sov_cols, NUM_KEYPOINTS + t)
-            oxn = read_col(trow, sov_cols, 2 * NUM_KEYPOINTS + t)
+            svals = fetch(sov_ref[g, t], col_of9, g9,
+                          tgt_iy.astype(jnp.int32), tgt_ix.astype(jnp.int32))
+            sc = svals[:, 0]
+            oyn = svals[:, 1]
+            oxn = svals[:, 2]
 
             scores = write_row(scores, t, sc, fill)
             cy = write_row(cy, t, tgt_iy * stride + oyn, fill)
@@ -173,8 +229,8 @@ def _traverse_one(meta_ref, sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
         return hop
 
     state = (scores0, cy0, cx0, zeros, zeros)
-    state = lax.fori_loop(0, NUM_EDGES, make_hop(dbwd3, 0), state)
-    state = lax.fori_loop(0, NUM_EDGES, make_hop(dfwd3, 3), state)
+    state = lax.fori_loop(0, NUM_EDGES, make_hop(dbwd_ref, 0), state)
+    state = lax.fori_loop(0, NUM_EDGES, make_hop(dfwd_ref, 3), state)
     scores, cy, cx, oy, ox = state
 
     out_scores_ref[g] = scores                       # (17, K)
@@ -200,26 +256,51 @@ def traverse_all_candidates_pallas(
        kp_offsets (B, K, 17, 2)) — same contract as the XLA traversal.
     """
     b, k = cand_scores.shape
-    hw = h * w
 
-    # Images per program: amortizes per-program pipeline overhead while
-    # keeping table VMEM (~0.8 MB/image f32 + bf16 splits) well under
-    # budget. b must divide evenly; fall back to 1 otherwise.
-    group = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
+    # Host-side re-layout into per-target / per-edge split tables (fused
+    # XLA transposes; the kernel consumes these directly).
+    sov_t = _per_group_tables(sov_table, h, w, 3, NUM_KEYPOINTS)
+    dfwd_t = _per_group_tables(dfwd_table, h, w, 2, NUM_EDGES)
+    dbwd_t = _per_group_tables(dbwd_table, h, w, 2, NUM_EDGES)
+
+    # Images per program: amortize per-program pipeline overhead while the
+    # double-buffered table blocks stay inside the VMEM budget.
+    per_img = h * w * _TABLE_BYTES_PER_CELL
+    group = 1
+    for cand in (8, 4, 2):
+        if b % cand == 0 and 2 * cand * per_img <= _VMEM_TABLE_BUDGET:
+            group = cand
+            break
 
     kernel = functools.partial(_traversal_kernel, h=h, w=w, k=k,
                                stride=float(output_stride), group=group)
     (bwd_e, bwd_s, bwd_t), (fwd_e, fwd_s, fwd_t) = _hop_metadata()
     meta = jnp.asarray(
         np.stack([bwd_e, bwd_s, bwd_t, fwd_e, fwd_s, fwd_t]), jnp.int32)
+    # host-built lane maps / group matrices (see _traverse_one)
+    colmap9 = jnp.asarray(np.arange(w * 9)[None, :] // 9, jnp.int32)
+    colmap6 = jnp.asarray(np.arange(w * 6)[None, :] // 6, jnp.int32)
+    g9 = jnp.asarray(
+        (np.arange(w * 9)[:, None] % 9 % 3) == np.arange(3)[None, :],
+        jnp.bfloat16)
+    g6 = jnp.asarray(
+        (np.arange(w * 6)[:, None] % 6 % 2) == np.arange(2)[None, :],
+        jnp.bfloat16)
 
     grid = (b // group,)
     in_specs = [
         pl.BlockSpec((6, NUM_EDGES), lambda i: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((group, hw, 51), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((group, hw, 32), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((group, hw, 32), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, w * 9), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, w * 6), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((w * 9, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((w * 6, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, NUM_KEYPOINTS, h, w * 9), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, NUM_EDGES, h, w * 6), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, NUM_EDGES, h, w * 6), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((group, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((group, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((group, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -240,7 +321,8 @@ def traverse_all_candidates_pallas(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(meta, sov_table, dfwd_table, dbwd_table, cand_scores[:, None, :],
+    )(meta, colmap9, colmap6, g9, g6,
+      sov_t, dfwd_t, dbwd_t, cand_scores[:, None, :],
       cand_kp.astype(jnp.int32)[:, None, :],
       root_coords[..., 0][:, None, :], root_coords[..., 1][:, None, :])
 

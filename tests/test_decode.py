@@ -17,23 +17,26 @@ from tests import reference_oracle
 
 def synth_heads(seed, r=33, peaky=True):
     """Synthesize plausible head tensors: a few gaussian heatmap peaks +
-    smooth offset/displacement fields (CHW layouts like the reference)."""
+    smooth offset/displacement fields (CHW layouts like the reference).
+    `r` is the square grid size, or an (h, w) tuple."""
+    h, w = (r, r) if isinstance(r, int) else r
     rng = np.random.RandomState(seed)
-    scores = rng.uniform(0, 0.3, size=(NUM_KEYPOINTS, r, r)).astype(np.float32)
+    scores = rng.uniform(0, 0.3, size=(NUM_KEYPOINTS, h, w)).astype(np.float32)
     if peaky:
         n_people = rng.randint(1, 4)
         for p in range(n_people):
-            cy, cx = rng.randint(3, r - 3, size=2)
+            cy = rng.randint(3, h - 3)
+            cx = rng.randint(3, w - 3)
             for k in range(NUM_KEYPOINTS):
-                ky = np.clip(cy + rng.randint(-4, 5), 0, r - 1)
-                kx = np.clip(cx + rng.randint(-4, 5), 0, r - 1)
-                yy, xx = np.mgrid[0:r, 0:r]
+                ky = np.clip(cy + rng.randint(-4, 5), 0, h - 1)
+                kx = np.clip(cx + rng.randint(-4, 5), 0, w - 1)
+                yy, xx = np.mgrid[0:h, 0:w]
                 g = np.exp(-((yy - ky) ** 2 + (xx - kx) ** 2) / 4.0)
                 scores[k] = np.maximum(scores[k], (0.6 + 0.4 * rng.rand()) * g)
     scores = scores.astype(np.float32)
-    offsets = rng.uniform(-8, 8, size=(2 * NUM_KEYPOINTS, r, r)).astype(np.float32)
-    dfwd = rng.uniform(-24, 24, size=(32, r, r)).astype(np.float32)
-    dbwd = rng.uniform(-24, 24, size=(32, r, r)).astype(np.float32)
+    offsets = rng.uniform(-8, 8, size=(2 * NUM_KEYPOINTS, h, w)).astype(np.float32)
+    dfwd = rng.uniform(-24, 24, size=(32, h, w)).astype(np.float32)
+    dbwd = rng.uniform(-24, 24, size=(32, h, w)).astype(np.float32)
     return scores, offsets, dfwd, dbwd
 
 
@@ -179,28 +182,34 @@ def test_single_pose_decode_runs():
     assert float(kp_scores[root_id]) > 0.5
 
 
-def test_pallas_traversal_matches_xla():
+@pytest.mark.parametrize("grid,k,stride", [
+    ((33, 33), 32, 16),     # 513x513 s16 production grid
+    ((91, 161), 16, 8),     # stride-8 720p high-accuracy grid (BASELINE #3)
+])
+def test_pallas_traversal_matches_xla(grid, k, stride):
     """The pallas one-hot MXU traversal must be bit-identical to the XLA
-    path (interpret mode so it runs on the CPU test backend)."""
+    path (interpret mode so it runs on the CPU test backend), including on
+    the large non-square grid v1 could not fit in VMEM."""
     import jax
 
     from posenet_tpu.decode import _prepare_decode, _traverse_all_candidates
     from posenet_tpu.ops.pallas.traversal import traverse_all_candidates_pallas
 
-    r = 33
-    scores, offsets, dfwd, dbwd = synth_heads(3, r=r)
-    cfg = DecodeConfig(min_pose_score=0.25, max_candidates=32)
+    h, w = grid
+    scores, offsets, dfwd, dbwd = synth_heads(3, r=grid)
+    cfg = DecodeConfig(min_pose_score=0.25, max_candidates=k,
+                       score_threshold=0.3)
     heads = [jnp.asarray(a.transpose(1, 2, 0))[None]
              for a in (scores, offsets, dfwd, dbwd)]
 
-    prep = jax.vmap(lambda h, o, f, b: _prepare_decode(h, o, f, b, 16, cfg))
+    prep = jax.vmap(lambda hm, o, f, b: _prepare_decode(hm, o, f, b, stride, cfg))
     sov, dft, dbt, cs, ck, rc = prep(*heads)
 
     xs, xc, xo = jax.vmap(
         lambda a, b, c, s, d1, d2: _traverse_all_candidates(
-            a, b, c, s, d1, d2, r, r, 16))(cs, ck, rc, sov, dft, dbt)
+            a, b, c, s, d1, d2, h, w, stride))(cs, ck, rc, sov, dft, dbt)
     ps, pc, po = traverse_all_candidates_pallas(
-        cs, ck, rc, sov, dft, dbt, r, r, 16, interpret=True)
+        cs, ck, rc, sov, dft, dbt, h, w, stride, interpret=True)
 
     np.testing.assert_array_equal(np.asarray(ps), np.asarray(xs))
     np.testing.assert_array_equal(np.asarray(pc), np.asarray(xc))
