@@ -28,12 +28,25 @@ class ModelConfig:
     # Conv accumulation/output dtype; kept float32 in both modes so heatmap
     # sigmoid and offset regression stay well-conditioned.
     param_dtype: jnp.dtype = jnp.float32
+    # Opt-in int8 trunk: inter-layer activations stored s8, pointwise
+    # convs as s8 matmuls. ReLU6 bounds every activation to [0,6] so the
+    # affine quantization is static — no calibration pass; heads and the
+    # decoder always run in bf16/f32. NOTE: measured SLOWER than bf16 on
+    # TPU v5e via XLA (see models/quantized.py for the autopsy) — this
+    # exists for backends where int8 pays, not as the v5e fast path.
+    # Requires compute_dtype=bfloat16 (parity mode is never quantized).
+    quantized: bool = False
 
     def __post_init__(self):
         if self.model_id not in (50, 75, 100, 101):
             raise ValueError(f"model_id must be in {{50,75,100,101}}, got {self.model_id}")
         if self.output_stride not in (8, 16, 32):
             raise ValueError(f"output_stride must be in {{8,16,32}}, got {self.output_stride}")
+        if self.quantized and self.compute_dtype == jnp.float32:
+            raise ValueError(
+                "quantized=True requires compute_dtype=bfloat16 (the int8 "
+                "path is a production serving mode; float32 is reserved for "
+                "bit-parity with the reference)")
 
 
 @dataclasses.dataclass(frozen=True)

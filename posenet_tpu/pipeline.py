@@ -28,9 +28,16 @@ from posenet_tpu.models.model_factory import PoseNet
 
 
 def _infer(params, frames_u8, cfg: ModelConfig, decode_cfg: DecodeConfig):
-    """(B, H, W, 3) uint8 RGB frames -> DecodedPoses (B, P, ...)."""
+    """(B, H, W, 3) uint8 RGB frames -> DecodedPoses (B, P, ...).
+
+    With cfg.quantized, `params` must be the int8 pytree from
+    models.quantized.quantize_params (PoseNetPipeline folds it at init)."""
     x = frames_u8.astype(cfg.compute_dtype) * (2.0 / 255.0) - 1.0
-    heads = mobilenet_v1.forward(params, x, cfg)
+    if cfg.quantized:
+        from posenet_tpu.models import quantized
+        heads = quantized.forward_quantized(params, x, cfg)
+    else:
+        heads = mobilenet_v1.forward(params, x, cfg)
     # decode_batch routes the tree walk through the pallas one-hot MXU
     # kernel on TPU (decode_cfg.use_pallas controls it explicitly).
     return decode_batch(
@@ -86,10 +93,20 @@ class PoseNetPipeline:
         self.mesh = mesh
         # Pre-cast conv kernels to the compute dtype once, so the compiled
         # program reads bf16 weights from HBM instead of converting f32
-        # every call.
-        model = PoseNet(
-            mobilenet_v1.cast_params(model.params, model.cfg.compute_dtype),
-            model.cfg)
+        # every call. In quantized mode, fold weights into the int8 layout
+        # instead (models/quantized.py).
+        if model.cfg.quantized:
+            if partition == 'spatial' and mesh is not None:
+                raise NotImplementedError(
+                    "quantized + spatial partition: the int8 trunk has no "
+                    "valid_h pad-row masking; use partition='data'")
+            from posenet_tpu.models import quantized as _quantized
+            model = PoseNet(_quantized.quantize_params(model.params),
+                            model.cfg)
+        else:
+            model = PoseNet(
+                mobilenet_v1.cast_params(model.params, model.cfg.compute_dtype),
+                model.cfg)
         self._partition = partition if mesh is not None else 'data'
         self._n_shards = mesh.devices.size if mesh is not None else 1
         if mesh is not None:
