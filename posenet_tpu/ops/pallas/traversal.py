@@ -118,6 +118,116 @@ def _per_group_tables(table, h, w, n_fields, n_groups):
     return t.reshape(b, n_groups, h, w * 3 * n_fields)
 
 
+def _traversal_kernel_v3(colmap9_ref, colmap6_ref, g9t_ref, g6t_ref,
+                         sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
+                         cand_kp_ref, root_y_ref, root_x_ref,
+                         out_scores_ref, out_cy_ref, out_cx_ref,
+                         out_oy_ref, out_ox_ref,
+                         *, h: int, w: int, k: int, stride: float,
+                         group: int):
+    """v3 — fully static unroll, K-on-lanes.
+
+    Two structural changes over v2 (same tables, same exact math):
+    - The 32 hops are unrolled at trace time with STATIC (edge, source,
+      target) metadata, so every state access is a static row slice and
+      `disp_ref[g, e]` / `sov_ref[g, t]` are static indexes — no SMEM
+      scalar reads, no dynamic ref indexing, and no (17, K) mask-and-reduce
+      per state read/write (v2 spent most of its per-hop time there).
+    - All per-candidate vectors live as (1, K) rows with K on the LANE
+      axis: the one-hot is built directly as (H, K) = (iota == iy) with no
+      transposes anywhere, stage-1 is tbl^T-contraction (H,W*nf)x(H,K) ->
+      (W*nf, K), column select compares a (W*nf, 1) host map against the
+      (1, K) column ids, and stage-2 is (nf, W*nf)x(W*nf, K) -> (nf, K).
+      v2's (K, H) one-hot burned 128 sublanes x 33 lanes (95 dead lanes
+      per VREG row); this layout keeps every VREG full.
+
+    Exactness argument is identical to v2 (module docstring): every MXU
+    product is 1.0/0.0 times a bf16 split piece, accumulated in f32."""
+    for g in range(group):
+        _traverse_one_v3(colmap9_ref, colmap6_ref, g9t_ref, g6t_ref,
+                         sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
+                         cand_kp_ref, root_y_ref, root_x_ref, out_scores_ref,
+                         out_cy_ref, out_cx_ref, out_oy_ref, out_ox_ref,
+                         g=g, h=h, w=w, k=k, stride=stride)
+
+
+def _traverse_one_v3(colmap9_ref, colmap6_ref, g9t_ref, g6t_ref,
+                     sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
+                     cand_kp_ref, root_y_ref, root_x_ref,
+                     out_scores_ref, out_cy_ref, out_cx_ref,
+                     out_oy_ref, out_ox_ref,
+                     *, g: int, h: int, w: int, k: int, stride: float):
+    cand_kp = cand_kp_ref[g, :, :]                   # (1, K) int32
+    cand_scores = cand_scores_ref[g, :, :]           # (1, K)
+    root_y = root_y_ref[g, :, :]
+    root_x = root_x_ref[g, :, :]
+
+    col_iota = lax.broadcasted_iota(jnp.int32, (h, k), 0)
+    col_of9 = colmap9_ref[:, :]                      # (W*9, 1) int32
+    col_of6 = colmap6_ref[:, :]                      # (W*6, 1)
+    g9t = g9t_ref[:, :]                              # (3, W*9) bf16
+    g6t = g6t_ref[:, :]                              # (2, W*6)
+
+    def fetch(tbl, col_of, gmat_t, iy, ix):
+        """Exact table fetch at integer cells: (nf, K) f32.
+
+        tbl (H, W*nf3) split table; iy/ix (1, K) int32."""
+        onehot_t = (col_iota == iy).astype(jnp.bfloat16)          # (H, K)
+        rows_t = lax.dot_general(                                 # (W*nf3, K)
+            tbl, onehot_t, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sel = jnp.where(col_of == ix, rows_t, 0.0
+                        ).astype(jnp.bfloat16)  # exact: entries are bf16
+        return lax.dot_general(                                   # (nf, K)
+            gmat_t, sel, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # State: 17 separate (1, K) rows — static-indexed throughout.
+    def seed(vals):
+        return [jnp.where(cand_kp == j, vals, 0.0)
+                for j in range(NUM_KEYPOINTS)]
+
+    scores = seed(cand_scores)
+    cy = seed(root_y)
+    cx = seed(root_x)
+    zero = jnp.zeros((1, k), jnp.float32)
+    oy = [zero for _ in range(NUM_KEYPOINTS)]
+    ox = [zero for _ in range(NUM_KEYPOINTS)]
+
+    def hop(disp_ref, e, s, t):
+        fill = (scores[s] > 0.0) & (scores[t] == 0.0)             # (1, K)
+        ys, xs = cy[s], cx[s]
+        src_iy = jnp.clip(jnp.round(ys / stride), 0.0, h - 1.0
+                          ).astype(jnp.int32)
+        src_ix = jnp.clip(jnp.round(xs / stride), 0.0, w - 1.0
+                          ).astype(jnp.int32)
+        dvals = fetch(disp_ref[g, e], col_of6, g6t, src_iy, src_ix)
+        ny = ys + dvals[0:1, :]
+        nx = xs + dvals[1:2, :]
+        tgt_iy = jnp.clip(jnp.round(ny / stride), 0.0, h - 1.0)
+        tgt_ix = jnp.clip(jnp.round(nx / stride), 0.0, w - 1.0)
+        svals = fetch(sov_ref[g, t], col_of9, g9t,
+                      tgt_iy.astype(jnp.int32), tgt_ix.astype(jnp.int32))
+        sc, oyn, oxn = svals[0:1, :], svals[1:2, :], svals[2:3, :]
+        scores[t] = jnp.where(fill, sc, scores[t])
+        cy[t] = jnp.where(fill, tgt_iy * stride + oyn, cy[t])
+        cx[t] = jnp.where(fill, tgt_ix * stride + oxn, cx[t])
+        oy[t] = jnp.where(fill, oyn, oy[t])
+        ox[t] = jnp.where(fill, oxn, ox[t])
+
+    (bwd_e, bwd_s, bwd_t), (fwd_e, fwd_s, fwd_t) = _hop_metadata()
+    for e, s, t in zip(bwd_e, bwd_s, bwd_t):
+        hop(dbwd_ref, int(e), int(s), int(t))
+    for e, s, t in zip(fwd_e, fwd_s, fwd_t):
+        hop(dfwd_ref, int(e), int(s), int(t))
+
+    out_scores_ref[g] = jnp.concatenate(scores, axis=0)           # (17, K)
+    out_cy_ref[g] = jnp.concatenate(cy, axis=0)
+    out_cx_ref[g] = jnp.concatenate(cx, axis=0)
+    out_oy_ref[g] = jnp.concatenate(oy, axis=0)
+    out_ox_ref[g] = jnp.concatenate(ox, axis=0)
+
+
 def _traversal_kernel(meta_ref, colmap9_ref, colmap6_ref, g9_ref, g6_ref,
                       sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
                       cand_kp_ref, root_y_ref, root_x_ref,
@@ -241,10 +351,12 @@ def _traverse_one(meta_ref, colmap9_ref, colmap6_ref, g9_ref, g6_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('h', 'w', 'output_stride', 'interpret'))
+                   static_argnames=('h', 'w', 'output_stride', 'interpret',
+                                    'version', 'group_override'))
 def traverse_all_candidates_pallas(
         cand_scores, cand_kp, root_coords, sov_table, dfwd_table, dbwd_table,
-        h: int, w: int, output_stride: int, interpret: bool = False
+        h: int, w: int, output_stride: int, interpret: bool = False,
+        version: int = 3, group_override: int = None
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched pallas traversal.
 
@@ -267,44 +379,28 @@ def traverse_all_candidates_pallas(
     # double-buffered table blocks stay inside the VMEM budget.
     per_img = h * w * _TABLE_BYTES_PER_CELL
     group = 1
-    for cand in (8, 4, 2):
+    # v3's fully-unrolled body holds more concurrent fetch intermediates in
+    # scoped VMEM; group > 2 blows the 16 MB scoped limit at 33x33.
+    group_cands = (2,) if version == 3 else (8, 4, 2)
+    for cand in group_cands:
         if b % cand == 0 and 2 * cand * per_img <= _VMEM_TABLE_BUDGET:
             group = cand
             break
-
-    kernel = functools.partial(_traversal_kernel, h=h, w=w, k=k,
-                               stride=float(output_stride), group=group)
-    (bwd_e, bwd_s, bwd_t), (fwd_e, fwd_s, fwd_t) = _hop_metadata()
-    meta = jnp.asarray(
-        np.stack([bwd_e, bwd_s, bwd_t, fwd_e, fwd_s, fwd_t]), jnp.int32)
-    # host-built lane maps / group matrices (see _traverse_one)
-    colmap9 = jnp.asarray(np.arange(w * 9)[None, :] // 9, jnp.int32)
-    colmap6 = jnp.asarray(np.arange(w * 6)[None, :] // 6, jnp.int32)
-    g9 = jnp.asarray(
-        (np.arange(w * 9)[:, None] % 9 % 3) == np.arange(3)[None, :],
-        jnp.bfloat16)
-    g6 = jnp.asarray(
-        (np.arange(w * 6)[:, None] % 6 % 2) == np.arange(2)[None, :],
-        jnp.bfloat16)
+    if group_override is not None:
+        group = group_override
 
     grid = (b // group,)
-    in_specs = [
-        pl.BlockSpec((6, NUM_EDGES), lambda i: (0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, w * 9), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, w * 6), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((w * 9, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((w * 6, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    table_specs = [
         pl.BlockSpec((group, NUM_KEYPOINTS, h, w * 9), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((group, NUM_EDGES, h, w * 6), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((group, NUM_EDGES, h, w * 6), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((group, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((group, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((group, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((group, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    cand_specs = [
+        pl.BlockSpec((group, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        for _ in range(4)
     ]
     out_specs = [
         pl.BlockSpec((group, NUM_KEYPOINTS, k), lambda i: (i, 0, 0),
@@ -313,7 +409,62 @@ def traverse_all_candidates_pallas(
     ]
     out_shape = [jax.ShapeDtypeStruct((b, NUM_KEYPOINTS, k), jnp.float32)
                  for _ in range(5)]
+    cand_args = (cand_scores[:, None, :],
+                 cand_kp.astype(jnp.int32)[:, None, :],
+                 root_coords[..., 0][:, None, :],
+                 root_coords[..., 1][:, None, :])
 
+    if version == 3:
+        kernel = functools.partial(_traversal_kernel_v3, h=h, w=w, k=k,
+                                   stride=float(output_stride), group=group)
+        # host-built column maps / transposed group matrices (K-on-lanes)
+        colmap9 = jnp.asarray(np.arange(w * 9)[:, None] // 9, jnp.int32)
+        colmap6 = jnp.asarray(np.arange(w * 6)[:, None] // 6, jnp.int32)
+        g9t = jnp.asarray(
+            (np.arange(3)[:, None] == np.arange(w * 9)[None, :] % 9 % 3),
+            jnp.bfloat16)
+        g6t = jnp.asarray(
+            (np.arange(2)[:, None] == np.arange(w * 6)[None, :] % 6 % 2),
+            jnp.bfloat16)
+        in_specs = [
+            pl.BlockSpec((w * 9, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w * 6, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, w * 9), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, w * 6), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ] + table_specs + cand_specs
+        const_args = (colmap9, colmap6, g9t, g6t)
+    else:
+        kernel = functools.partial(_traversal_kernel, h=h, w=w, k=k,
+                                   stride=float(output_stride), group=group)
+        (bwd_e, bwd_s, bwd_t), (fwd_e, fwd_s, fwd_t) = _hop_metadata()
+        meta = jnp.asarray(
+            np.stack([bwd_e, bwd_s, bwd_t, fwd_e, fwd_s, fwd_t]), jnp.int32)
+        # host-built lane maps / group matrices (see _traverse_one)
+        colmap9 = jnp.asarray(np.arange(w * 9)[None, :] // 9, jnp.int32)
+        colmap6 = jnp.asarray(np.arange(w * 6)[None, :] // 6, jnp.int32)
+        g9 = jnp.asarray(
+            (np.arange(w * 9)[:, None] % 9 % 3) == np.arange(3)[None, :],
+            jnp.bfloat16)
+        g6 = jnp.asarray(
+            (np.arange(w * 6)[:, None] % 6 % 2) == np.arange(2)[None, :],
+            jnp.bfloat16)
+        in_specs = [
+            pl.BlockSpec((6, NUM_EDGES), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, w * 9), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w * 6), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w * 9, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w * 6, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ] + table_specs + cand_specs
+        const_args = (meta, colmap9, colmap6, g9, g6)
+
+    # v3's unrolled body keeps more fetch intermediates live than the 16 MB
+    # default scoped-VMEM budget allows at group >= 4; raise the cap so the
+    # group sweep isn't artificially truncated (v5e has 128 MB VMEM).
+    compiler_params = None
+    if version == 3 and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     scores, cy, cx, oy, ox = pl.pallas_call(
         kernel,
         grid=grid,
@@ -321,10 +472,8 @@ def traverse_all_candidates_pallas(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(meta, colmap9, colmap6, g9, g6,
-      sov_t, dfwd_t, dbwd_t, cand_scores[:, None, :],
-      cand_kp.astype(jnp.int32)[:, None, :],
-      root_coords[..., 0][:, None, :], root_coords[..., 1][:, None, :])
+        compiler_params=compiler_params,
+    )(*const_args, sov_t, dfwd_t, dbwd_t, *cand_args)
 
     kp_scores = jnp.transpose(scores, (0, 2, 1))                 # (B, K, 17)
     kp_coords = jnp.stack([jnp.transpose(cy, (0, 2, 1)),
