@@ -12,9 +12,10 @@ passes and a 139k-element one-hot build per hop, ~6 ms/batch128, and VMEM
 capped it at ~4k grid cells (stride-8 720p fell back to XLA). v2 instead:
 
 1. The HOST pre-arranges per-target tables: sov (B, 17, H, W*9) — for
-   target keypoint t, row y, column x*9 + (3*split + field) holds the
-   bf16 split piece of [score_t, off_y_t, off_x_t] at cell (y, x); disp
-   tables likewise (B, 16, H, W*6) per edge. Pure XLA transposes, fused.
+   target keypoint t, row y, column f*3W + split*W + x holds the bf16
+   split piece of field f in [score_t, off_y_t, off_x_t] at cell (y, x);
+   disp tables likewise (B, 16, H, W*6) per edge. Pure XLA transposes,
+   fused (block layout: see _per_group_tables).
 2. Per hop, the kernel row-gathers with a tiny (K, H) one-hot:
    rows = onehot_row @ table[t]  ->  (K, W*nf) — each output element is a
    single 1.0*bf16 product accumulated in f32, i.e. an exact copy.
@@ -109,13 +110,19 @@ def _split3(x):
 
 def _per_group_tables(table, h, w, n_fields, n_groups):
     """(B, H*W, n_fields*n_groups) f32 with column = n_groups*f + g  ->
-    (B, n_groups, H, W*3*n_fields) bf16 split tables with column
-    x*(3*n_fields) + (3*split + field)."""
+    (B, n_groups, H, 3*n_fields*W) bf16 split tables in BLOCK layout:
+    column = field*(3W) + split*W + x.
+
+    The block layout keeps W (33/161) as the innermost moved axis so the
+    relayout is a well-tiled XLA transpose; the original interleaved layout
+    (col = x*3F + 3*split + field) transposed with F=2..3 innermost and ran
+    ~3x slower. The kernel is layout-agnostic — its column map and field
+    group matrix are host constants built to match."""
     b = table.shape[0]
     t = table.reshape(b, h, w, n_fields, n_groups)
-    t = jnp.transpose(t, (0, 4, 1, 2, 3))            # (B, G, H, W, F)
-    t = _split3(t)                                   # (B, G, H, W, 3F)
-    return t.reshape(b, n_groups, h, w * 3 * n_fields)
+    t = jnp.transpose(t, (0, 4, 1, 3, 2))            # (B, G, H, F, W)
+    t = _split3(t)                                   # (B, G, H, F, 3W)
+    return t.reshape(b, n_groups, h, 3 * n_fields * w)
 
 
 def _traversal_kernel_v3(colmap9_ref, colmap6_ref, g9t_ref, g6t_ref,
@@ -417,14 +424,15 @@ def traverse_all_candidates_pallas(
     if version == 3:
         kernel = functools.partial(_traversal_kernel_v3, h=h, w=w, k=k,
                                    stride=float(output_stride), group=group)
-        # host-built column maps / transposed group matrices (K-on-lanes)
-        colmap9 = jnp.asarray(np.arange(w * 9)[:, None] // 9, jnp.int32)
-        colmap6 = jnp.asarray(np.arange(w * 6)[:, None] // 6, jnp.int32)
+        # host-built column maps / transposed group matrices (K-on-lanes),
+        # matching _per_group_tables' block layout: col = f*3W + split*W + x
+        colmap9 = jnp.asarray(np.arange(w * 9)[:, None] % w, jnp.int32)
+        colmap6 = jnp.asarray(np.arange(w * 6)[:, None] % w, jnp.int32)
         g9t = jnp.asarray(
-            (np.arange(3)[:, None] == np.arange(w * 9)[None, :] % 9 % 3),
+            (np.arange(3)[:, None] == np.arange(w * 9)[None, :] // (3 * w)),
             jnp.bfloat16)
         g6t = jnp.asarray(
-            (np.arange(2)[:, None] == np.arange(w * 6)[None, :] % 6 % 2),
+            (np.arange(2)[:, None] == np.arange(w * 6)[None, :] // (3 * w)),
             jnp.bfloat16)
         in_specs = [
             pl.BlockSpec((w * 9, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -439,14 +447,15 @@ def traverse_all_candidates_pallas(
         (bwd_e, bwd_s, bwd_t), (fwd_e, fwd_s, fwd_t) = _hop_metadata()
         meta = jnp.asarray(
             np.stack([bwd_e, bwd_s, bwd_t, fwd_e, fwd_s, fwd_t]), jnp.int32)
-        # host-built lane maps / group matrices (see _traverse_one)
-        colmap9 = jnp.asarray(np.arange(w * 9)[None, :] // 9, jnp.int32)
-        colmap6 = jnp.asarray(np.arange(w * 6)[None, :] // 6, jnp.int32)
+        # host-built lane maps / group matrices (see _traverse_one), block
+        # layout col = f*3W + split*W + x (must match _per_group_tables)
+        colmap9 = jnp.asarray(np.arange(w * 9)[None, :] % w, jnp.int32)
+        colmap6 = jnp.asarray(np.arange(w * 6)[None, :] % w, jnp.int32)
         g9 = jnp.asarray(
-            (np.arange(w * 9)[:, None] % 9 % 3) == np.arange(3)[None, :],
+            (np.arange(w * 9)[:, None] // (3 * w)) == np.arange(3)[None, :],
             jnp.bfloat16)
         g6 = jnp.asarray(
-            (np.arange(w * 6)[:, None] % 6 % 2) == np.arange(2)[None, :],
+            (np.arange(w * 6)[:, None] // (3 * w)) == np.arange(2)[None, :],
             jnp.bfloat16)
         in_specs = [
             pl.BlockSpec((6, NUM_EDGES), lambda i: (0, 0),
