@@ -235,6 +235,157 @@ def _traverse_one_v3(colmap9_ref, colmap6_ref, g9t_ref, g6t_ref,
     out_ox_ref[g] = jnp.concatenate(ox, axis=0)
 
 
+def _level_metadata():
+    """Levels as (edge_ids, sources, targets) tuples, bwd then fwd.
+
+    Level-batching is exact: within a level no edge's source is another's
+    target, and the backward pass fills exactly the root->nose ancestor
+    path so edges sharing a target have disjoint fill masks (see
+    decode._tree_levels). Evaluating all of a level's fill gates from the
+    pre-level state is therefore identical to the reference's sequential
+    edge order."""
+    from posenet_tpu.decode import _BWD_LEVELS, _FWD_LEVELS
+
+    def conv(levels):
+        return [tuple(zip(*level)) for level in levels]
+
+    return conv(_BWD_LEVELS), conv(_FWD_LEVELS)
+
+
+def _traversal_kernel_v4(colmap9_ref, colmap6_ref, g9t_ref, g6t_ref,
+                         sov_bwd_ref, sov_fwd_ref, dbwd_ref, dfwd_ref,
+                         cand_scores_ref, cand_kp_ref, root_y_ref, root_x_ref,
+                         out_scores_ref, out_cy_ref, out_cx_ref,
+                         out_oy_ref, out_ox_ref,
+                         *, h: int, w: int, k: int, stride: float,
+                         group: int):
+    """v4 — level-batched super-hops (8 instead of 32 sequential hops).
+
+    The kinematic tree has depth 4, so each pass is 4 dependency levels of
+    2-6 independent edges. A whole level fetches in ONE one-hot matmul
+    pair via the block-diagonal trick: the host stacks the level's
+    per-target (or per-edge) tables along the ROW axis — level block
+    (L*H, W*nf3) — and each edge j's candidates get row ids offset by
+    j*H, so a single (L*H, L*K) one-hot contracts into per-edge fetches
+    with zero cross-talk (off-diagonal blocks are exact 0.0 products).
+    Sequential MXU dependency chain drops 4x; lane width grows to L*K
+    (up to 768), which the VPU/MXU process at full tilt.
+
+    Exactness: identical argument to v2/v3 (every product is 0/1 times a
+    bf16 split piece, f32 accumulation, non-overlapping significands), and
+    level-batched fill gating equals sequential gating (_level_metadata)."""
+    for g in range(group):
+        _traverse_one_v4(colmap9_ref, colmap6_ref, g9t_ref, g6t_ref,
+                         sov_bwd_ref, sov_fwd_ref, dbwd_ref, dfwd_ref,
+                         cand_scores_ref, cand_kp_ref, root_y_ref, root_x_ref,
+                         out_scores_ref, out_cy_ref, out_cx_ref,
+                         out_oy_ref, out_ox_ref,
+                         g=g, h=h, w=w, k=k, stride=stride)
+
+
+def _traverse_one_v4(colmap9_ref, colmap6_ref, g9t_ref, g6t_ref,
+                     sov_bwd_ref, sov_fwd_ref, dbwd_ref, dfwd_ref,
+                     cand_scores_ref, cand_kp_ref, root_y_ref, root_x_ref,
+                     out_scores_ref, out_cy_ref, out_cx_ref,
+                     out_oy_ref, out_ox_ref,
+                     *, g: int, h: int, w: int, k: int, stride: float):
+    cand_kp = cand_kp_ref[g, :, :]                   # (1, K) int32
+    cand_scores = cand_scores_ref[g, :, :]
+    root_y = root_y_ref[g, :, :]
+    root_x = root_x_ref[g, :, :]
+
+    col_of9 = colmap9_ref[:, :]                      # (W*9, 1) int32
+    col_of6 = colmap6_ref[:, :]
+    g9t = g9t_ref[:, :]                              # (3, W*9) bf16
+    g6t = g6t_ref[:, :]
+
+    def fetch_level(tbl_lvl, col_of, gmat_t, iy_cat, ix_cat, L):
+        """Block-diagonal level fetch: (nf, L*K) f32.
+
+        tbl_lvl (L*H, W*nf3): rows [j*H, (j+1)*H) hold edge j's table.
+        iy_cat (1, L*K) int32 already offset by j*H per segment."""
+        iota = lax.broadcasted_iota(jnp.int32, (L * h, L * k), 0)
+        onehot_t = (iota == iy_cat).astype(jnp.bfloat16)          # (LH, LK)
+        rows_t = lax.dot_general(                                 # (Wnf3, LK)
+            tbl_lvl, onehot_t, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sel = jnp.where(col_of == ix_cat, rows_t, 0.0
+                        ).astype(jnp.bfloat16)
+        return lax.dot_general(                                   # (nf, LK)
+            gmat_t, sel, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def seed(vals):
+        return [jnp.where(cand_kp == j, vals, 0.0)
+                for j in range(NUM_KEYPOINTS)]
+
+    scores = seed(cand_scores)
+    cy = seed(root_y)
+    cx = seed(root_x)
+    zero = jnp.zeros((1, k), jnp.float32)
+    oy = [zero for _ in range(NUM_KEYPOINTS)]
+    ox = [zero for _ in range(NUM_KEYPOINTS)]
+
+    bwd_levels, fwd_levels = _level_metadata()
+
+    def run_pass(levels, sov_ref, disp_ref):
+        offset = 0  # level block start row (in units of H) within the pass
+        for (edges, sources, targets) in levels:
+            L = len(edges)
+            fills = [(scores[s] > 0.0) & (scores[t] == 0.0)
+                     for s, t in zip(sources, targets)]
+            # --- displacement fetch at source cells ---
+            src_iy, src_ix = [], []
+            for j, s in enumerate(sources):
+                iy = jnp.clip(jnp.round(cy[s] / stride), 0.0, h - 1.0
+                              ).astype(jnp.int32)
+                ix = jnp.clip(jnp.round(cx[s] / stride), 0.0, w - 1.0
+                              ).astype(jnp.int32)
+                src_iy.append(iy + j * h)
+                src_ix.append(ix)
+            dlvl = disp_ref[g, offset * h:(offset + L) * h, :]    # (L*H, W6)
+            dvals = fetch_level(dlvl, col_of6, g6t,
+                                jnp.concatenate(src_iy, axis=1),
+                                jnp.concatenate(src_ix, axis=1), L)  # (2, LK)
+            # --- score+offset fetch at displaced target cells ---
+            tgt_iy, tgt_ix, tys, txs = [], [], [], []
+            for j, s in enumerate(sources):
+                ny = cy[s] + dvals[0:1, j * k:(j + 1) * k]
+                nx = cx[s] + dvals[1:2, j * k:(j + 1) * k]
+                ty = jnp.clip(jnp.round(ny / stride), 0.0, h - 1.0)
+                tx = jnp.clip(jnp.round(nx / stride), 0.0, w - 1.0)
+                tys.append(ty)
+                txs.append(tx)
+                tgt_iy.append(ty.astype(jnp.int32) + j * h)
+                tgt_ix.append(tx.astype(jnp.int32))
+            slvl = sov_ref[g, offset * h:(offset + L) * h, :]     # (L*H, W9)
+            svals = fetch_level(slvl, col_of9, g9t,
+                                jnp.concatenate(tgt_iy, axis=1),
+                                jnp.concatenate(tgt_ix, axis=1), L)  # (3, LK)
+            # --- masked writes (disjoint fills within a level) ---
+            for j, t in enumerate(targets):
+                sl = slice(j * k, (j + 1) * k)
+                sc = svals[0:1, sl]
+                oyn = svals[1:2, sl]
+                oxn = svals[2:3, sl]
+                fill = fills[j]
+                scores[t] = jnp.where(fill, sc, scores[t])
+                cy[t] = jnp.where(fill, tys[j] * stride + oyn, cy[t])
+                cx[t] = jnp.where(fill, txs[j] * stride + oxn, cx[t])
+                oy[t] = jnp.where(fill, oyn, oy[t])
+                ox[t] = jnp.where(fill, oxn, ox[t])
+            offset += L
+
+    run_pass(bwd_levels, sov_bwd_ref, dbwd_ref)
+    run_pass(fwd_levels, sov_fwd_ref, dfwd_ref)
+
+    out_scores_ref[g] = jnp.concatenate(scores, axis=0)           # (17, K)
+    out_cy_ref[g] = jnp.concatenate(cy, axis=0)
+    out_cx_ref[g] = jnp.concatenate(cx, axis=0)
+    out_oy_ref[g] = jnp.concatenate(oy, axis=0)
+    out_ox_ref[g] = jnp.concatenate(ox, axis=0)
+
+
 def _traversal_kernel(meta_ref, colmap9_ref, colmap6_ref, g9_ref, g6_ref,
                       sov_ref, dfwd_ref, dbwd_ref, cand_scores_ref,
                       cand_kp_ref, root_y_ref, root_x_ref,
@@ -363,7 +514,7 @@ def _traverse_one(meta_ref, colmap9_ref, colmap6_ref, g9_ref, g6_ref,
 def traverse_all_candidates_pallas(
         cand_scores, cand_kp, root_coords, sov_table, dfwd_table, dbwd_table,
         h: int, w: int, output_stride: int, interpret: bool = False,
-        version: int = 3, group_override: int = None
+        version: int = None, group_override: int = None
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched pallas traversal.
 
@@ -384,11 +535,23 @@ def traverse_all_candidates_pallas(
 
     # Images per program: amortize per-program pipeline overhead while the
     # double-buffered table blocks stay inside the VMEM budget.
+    if version is None:
+        # v4's level-batched one-hot builds scale as L^2*H*K on the VPU:
+        # measured v5e crossover vs v3 is ~4k grid cells (33x33 4.0 vs 4.4
+        # ms/b128 for v4; 91x161 2.7 vs 2.2 ms/b4 for v3; ties at 46x81 /
+        # 65x65).
+        version = 4 if h * w <= 4300 else 3
+
     per_img = h * w * _TABLE_BYTES_PER_CELL
     group = 1
-    # v3's fully-unrolled body holds more concurrent fetch intermediates in
-    # scoped VMEM; group > 2 blows the 16 MB scoped limit at 33x33.
-    group_cands = (2,) if version == 3 else (8, 4, 2)
+    # Images per program (v5e measurements, 33x33 grid): deep grids hide
+    # per-program pipeline overhead, so group=2 suffices at b>=64 (g=4 is
+    # slightly worse: more scoped VMEM, same speed); shallow grids need a
+    # larger group to amortize (b=16: g=4 1.38 ms vs g=2 1.98 ms on v4).
+    if version >= 3:
+        group_cands = (2,) if b >= 64 else (4, 2)
+    else:
+        group_cands = (8, 4, 2)
     for cand in group_cands:
         if b % cand == 0 and 2 * cand * per_img <= _VMEM_TABLE_BUDGET:
             group = cand
@@ -421,7 +584,50 @@ def traverse_all_candidates_pallas(
                  root_coords[..., 0][:, None, :],
                  root_coords[..., 1][:, None, :])
 
-    if version == 3:
+    if version == 4:
+        kernel = functools.partial(_traversal_kernel_v4, h=h, w=w, k=k,
+                                   stride=float(output_stride), group=group)
+        colmap9 = jnp.asarray(np.arange(w * 9)[:, None] % w, jnp.int32)
+        colmap6 = jnp.asarray(np.arange(w * 6)[:, None] % w, jnp.int32)
+        g9t = jnp.asarray(
+            (np.arange(3)[:, None] == np.arange(w * 9)[None, :] // (3 * w)),
+            jnp.bfloat16)
+        g6t = jnp.asarray(
+            (np.arange(2)[:, None] == np.arange(w * 6)[None, :] // (3 * w)),
+            jnp.bfloat16)
+        # Level-stacked tables: edge axis reordered into level order and
+        # folded into rows, so the kernel's per-level block is a contiguous
+        # static row slice (see _traverse_one_v4).
+        bwd_levels, fwd_levels = _level_metadata()
+        bwd_edge_order = [e for lvl in bwd_levels for e in lvl[0]]
+        bwd_tgt_order = [t for lvl in bwd_levels for t in lvl[2]]
+        fwd_edge_order = [e for lvl in fwd_levels for e in lvl[0]]
+        fwd_tgt_order = [t for lvl in fwd_levels for t in lvl[2]]
+        sov_bwd = sov_t[:, np.asarray(bwd_tgt_order)].reshape(
+            b, NUM_EDGES * h, w * 9)
+        sov_fwd = sov_t[:, np.asarray(fwd_tgt_order)].reshape(
+            b, NUM_EDGES * h, w * 9)
+        dbwd_lvl = dbwd_t[:, np.asarray(bwd_edge_order)].reshape(
+            b, NUM_EDGES * h, w * 6)
+        dfwd_lvl = dfwd_t[:, np.asarray(fwd_edge_order)].reshape(
+            b, NUM_EDGES * h, w * 6)
+        in_specs = [
+            pl.BlockSpec((w * 9, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w * 6, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, w * 9), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, w * 6), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, NUM_EDGES * h, w * 9),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, NUM_EDGES * h, w * 9),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, NUM_EDGES * h, w * 6),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, NUM_EDGES * h, w * 6),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ] + cand_specs
+        const_args = (colmap9, colmap6, g9t, g6t)
+        table_args = (sov_bwd, sov_fwd, dbwd_lvl, dfwd_lvl)
+    elif version == 3:
         kernel = functools.partial(_traversal_kernel_v3, h=h, w=w, k=k,
                                    stride=float(output_stride), group=group)
         # host-built column maps / transposed group matrices (K-on-lanes),
@@ -441,6 +647,7 @@ def traverse_all_candidates_pallas(
             pl.BlockSpec((2, w * 6), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ] + table_specs + cand_specs
         const_args = (colmap9, colmap6, g9t, g6t)
+        table_args = (sov_t, dfwd_t, dbwd_t)
     else:
         kernel = functools.partial(_traversal_kernel, h=h, w=w, k=k,
                                    stride=float(output_stride), group=group)
@@ -466,12 +673,13 @@ def traverse_all_candidates_pallas(
             pl.BlockSpec((w * 6, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ] + table_specs + cand_specs
         const_args = (meta, colmap9, colmap6, g9, g6)
+        table_args = (sov_t, dfwd_t, dbwd_t)
 
     # v3's unrolled body keeps more fetch intermediates live than the 16 MB
     # default scoped-VMEM budget allows at group >= 4; raise the cap so the
     # group sweep isn't artificially truncated (v5e has 128 MB VMEM).
     compiler_params = None
-    if version == 3 and not interpret:
+    if version >= 3 and not interpret:
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
     scores, cy, cx, oy, ox = pl.pallas_call(
@@ -482,7 +690,7 @@ def traverse_all_candidates_pallas(
         out_shape=out_shape,
         interpret=interpret,
         compiler_params=compiler_params,
-    )(*const_args, sov_t, dfwd_t, dbwd_t, *cand_args)
+    )(*const_args, *table_args, *cand_args)
 
     kp_scores = jnp.transpose(scores, (0, 2, 1))                 # (B, K, 17)
     kp_coords = jnp.stack([jnp.transpose(cy, (0, 2, 1)),
