@@ -36,6 +36,15 @@ class ModelConfig:
     # exists for backends where int8 pays, not as the v5e fast path.
     # Requires compute_dtype=bfloat16 (parity mode is never quantized).
     quantized: bool = False
+    # x-packed stem (models/packed_stem.py): computes layers 0-2 in
+    # full-lane packed layouts, targeting the 4x/2x lane-padding HBM waste
+    # of the C=32/64 early tensors (~9 ms of the 18 ms trunk at batch 128).
+    # Correct (f32 diff vs plain prefix: 6e-8) but measured SLOWER on v5e
+    # via XLA — the shifted-FMA chains do not fuse (every term is a full
+    # HBM pass: whole stem 76 ms vs 11 ms plain) and every alternative
+    # formulation also loses; see packed_stem.py's autopsy. Kept as an
+    # opt-in tested artifact for backends with working elementwise fusion.
+    packed_stem: bool = False
 
     def __post_init__(self):
         if self.model_id not in (50, 75, 100, 101):

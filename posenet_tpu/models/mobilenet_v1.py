@@ -269,7 +269,18 @@ def forward(params: Dict[str, Any], x: jax.Array, cfg: ModelConfig,
         rows = lax.broadcasted_iota(jnp.int32, (x.shape[1], 1), 0)
         return x * (rows < vh).astype(x.dtype)[None, :, :, None]
 
-    for layer, p in zip(plan, params['backbone']):
+    start_layer = 0
+    if (cfg.packed_stem and cfg.compute_dtype == jnp.bfloat16
+            and valid_h is None and precision is None):
+        from posenet_tpu.models import packed_stem as _ps
+        if _ps.stem_applicable(x.shape, plan):
+            # Layers 0-2 in x-packed full-lane layouts: C=32/64 NHWC bf16
+            # tensors pad lanes 4x/2x and cost ~9 of the trunk's 18 ms in
+            # pure padded HBM traffic (see packed_stem.py).
+            x = _ps.packed_stem(params, x)
+            start_layer = 3
+
+    for layer, p in zip(plan[start_layer:], params['backbone'][start_layer:]):
         x = mask_pad_rows(x, vh)
         if layer['conv_type'] == 'input':
             x = _relu6(_conv2d(x, p['w'], p['b'], stride=layer['stride'],
