@@ -73,8 +73,12 @@ from jax.experimental.pallas import tpu as pltpu
 from posenet_tpu.constants import NUM_EDGES, NUM_KEYPOINTS
 
 # Per-image VMEM for the split tables, bytes: 17*(W*9) + 2*16*(W*6) bf16
-# columns per row = H*W*(153+192)*2.
+# columns per row = H*W*(153+192)*2. (v2/v3 per-target layout.)
 _TABLE_BYTES_PER_CELL = (NUM_KEYPOINTS * 9 + 2 * NUM_EDGES * 6) * 2
+# v4 stacks sov PER EDGE for both passes (2*16*9W) instead of per target
+# (17*9W), so its footprint is ~1.4x larger — bill it honestly in the
+# group sweep or the 24 MB budget invariant is silently exceeded.
+_TABLE_BYTES_PER_CELL_V4 = (2 * NUM_EDGES * 9 + 2 * NUM_EDGES * 6) * 2
 # Pipeline double-buffers input blocks; keep 2*group*tables under this.
 _VMEM_TABLE_BUDGET = 24 * 1024 * 1024
 
@@ -542,7 +546,8 @@ def traverse_all_candidates_pallas(
         # 65x65).
         version = 4 if h * w <= 4300 else 3
 
-    per_img = h * w * _TABLE_BYTES_PER_CELL
+    per_img = h * w * (_TABLE_BYTES_PER_CELL_V4 if version == 4
+                       else _TABLE_BYTES_PER_CELL)
     group = 1
     # Images per program (v5e measurements, 33x33 grid): deep grids hide
     # per-program pipeline overhead, so group=2 suffices at b>=64 (g=4 is
@@ -557,6 +562,11 @@ def traverse_all_candidates_pallas(
             group = cand
             break
     if group_override is not None:
+        if b % group_override != 0:
+            raise ValueError(
+                f"group_override={group_override} must divide batch {b}: a "
+                f"non-dividing group would truncate the grid and return "
+                f"uninitialized results for the trailing images")
         group = group_override
 
     grid = (b // group,)

@@ -31,19 +31,25 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     elsewhere pass coordinator/process explicitly. Idempotent: calling in a
     single-process job (or twice) is a no-op. Returns the process index.
     """
-    if jax.process_count() > 1:
+    # NOTE: do NOT probe jax.process_count() here first — it initializes
+    # the XLA backend, after which jax.distributed.initialize() always
+    # raises ("must be called before any JAX calls ..."), which previously
+    # made this function silently fall back to single-process on pods.
+    # Guard idempotence via jax.distributed's own client state instead.
+    client = getattr(jax._src.distributed.global_state, 'client', None)
+    if client is not None:
         return jax.process_index()  # already initialized
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
-    except (ValueError, RuntimeError) as e:
-        # Single-process run with no coordinator configured: stay local.
+    except (ValueError, RuntimeError):
+        # Explicitly-requested multi-process setup must not be swallowed.
         if coordinator_address is not None or num_processes not in (None, 1):
             raise
-        if jax.process_count() == 1:
-            return 0
-        raise e
+        # Single-process run with no coordinator configured (no pod env
+        # to auto-detect, or the backend was already up): stay local.
+        return 0
     return jax.process_index()
 
 

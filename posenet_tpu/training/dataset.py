@@ -144,19 +144,30 @@ class PosenetDataset:
 
     def iter_batches(self, batch_size: int, shuffle: bool = True,
                      seed: int = 0, drop_remainder: bool = True,
-                     prefetch: int = 2) -> Iterator[Dict[str, np.ndarray]]:
+                     prefetch: int = 2, wrap_if_short: bool = False
+                     ) -> Iterator[Dict[str, np.ndarray]]:
         """Epoch iterator yielding stacked numpy batches.
 
         `prefetch` > 0 assembles batches on a background thread (bounded
         queue, so at most `prefetch` batches are in flight) while the
         consumer's device step runs; image decode within a batch fans out
         over a thread pool. `prefetch=0` is fully synchronous.
+        `wrap_if_short` makes drop_remainder yield ONE wrap-around-padded
+        batch instead of zero when the dataset is smaller than
+        `batch_size` (sharded eval needs mesh-divisible batches).
         """
         order = np.arange(len(self))
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
-        n = (len(self) // batch_size * batch_size if drop_remainder
-             else len(self))
+        n_items = len(self)
+        if wrap_if_short and drop_remainder and 0 < n_items < batch_size:
+            # Too few items for one full batch (e.g. sharded eval where the
+            # batch must divide the mesh): wrap around so one full batch is
+            # produced instead of zero (duplicates are counted in means).
+            order = np.resize(order, batch_size)
+            n_items = batch_size
+        n = (n_items // batch_size * batch_size if drop_remainder
+             else n_items)
         starts = range(0, n, batch_size)
 
         if prefetch <= 0:
@@ -167,27 +178,51 @@ class PosenetDataset:
 
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         _END = object()
+        stop = threading.Event()
 
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for start in starts:
-                        q.put(self._make_batch(
-                            order[start:start + batch_size], pool))
+                        item = self._make_batch(order[start:start + batch_size],
+                                                pool)
+                        # bounded put that aborts if the consumer went away
+                        # (abandoned generator) so this thread can't block
+                        # forever on a full queue
+                        while not stop.is_set():
+                            try:
+                                q.put(item, timeout=0.1)
+                                break
+                            except queue.Full:
+                                continue
+                        if stop.is_set():
+                            return
                 q.put(_END)
             except BaseException as e:  # surfaced on the consumer side
-                q.put(e)
+                if not stop.is_set():
+                    q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+            t.join()
+        finally:
+            # Abandoned mid-epoch (e.g. a caller takes one batch and drops
+            # the generator): unblock and retire the producer + its pool.
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)
 
 
 def get_dataset_mean_std(dataset: PosenetDataset) -> Tuple[np.ndarray, np.ndarray]:

@@ -211,9 +211,13 @@ def train(train_dataset: PosenetDataset,
             # Under a mesh, eval_fn is jitted with in_shardings=P('data'):
             # a trailing batch not divisible by the mesh size fails to shard
             # (and any distinct shape recompiles), so drop the remainder.
+            # wrap_if_short: a test set smaller than one (mesh-divisible)
+            # batch still yields ONE wrapped batch — otherwise val_loss
+            # would be mean([]) = nan and no checkpoint would ever save.
             for batch in test_dataset.iter_batches(
                     train_cfg.batch_size, shuffle=False,
-                    drop_remainder=mesh is not None):
+                    drop_remainder=mesh is not None,
+                    wrap_if_short=mesh is not None):
                 device_batch = {'image': jnp.asarray(batch['image']),
                                 'keypoints': jnp.asarray(batch['keypoints'])}
                 eval_losses.append(eval_fn(state.params, device_batch))
@@ -242,9 +246,13 @@ def train(train_dataset: PosenetDataset,
         if (train_cfg.visual_every > 0
                 and epoch % train_cfg.visual_every == 0):
             vis_ds = test_dataset if test_dataset is not None else train_dataset
-            vis_batch = next(vis_ds.iter_batches(
+            vis_gen = vis_ds.iter_batches(
                 min(train_cfg.batch_size, len(vis_ds)), shuffle=False,
-                drop_remainder=True))
+                drop_remainder=True)
+            try:
+                vis_batch = next(vis_gen)
+            finally:
+                vis_gen.close()  # retire the prefetch producer thread
             dump_visual_diagnostics(state.params, vis_batch, vis_ds,
                                     model_cfg, decode_cfg,
                                     train_cfg.output_dir, epoch)

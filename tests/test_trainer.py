@@ -70,6 +70,40 @@ def test_dataset_prefetch_matches_sync(tmp_path):
     np.testing.assert_array_equal(pre[0]['image'], again[0]['image'])
 
 
+def test_dataset_wrap_if_short(tmp_path):
+    """A dataset smaller than one batch yields ONE wrap-around-padded
+    batch under drop_remainder + wrap_if_short (sharded eval must not get
+    zero batches -> nan val loss)."""
+    images, kpdir = make_synthetic_dataset(str(tmp_path), n_images=3)
+    ds = PosenetDataset(images, kpdir, image_size=65, output_stride=16)
+    assert list(ds.iter_batches(8, shuffle=False, drop_remainder=True)) == []
+    batches = list(ds.iter_batches(8, shuffle=False, drop_remainder=True,
+                                   wrap_if_short=True))
+    assert len(batches) == 1
+    assert batches[0]['image'].shape[0] == 8
+    # wrap-around repeats items cyclically
+    np.testing.assert_array_equal(batches[0]['image'][0],
+                                  batches[0]['image'][3])
+
+
+def test_dataset_abandoned_generator_retires_producer(tmp_path):
+    """Dropping a prefetching iterator mid-epoch must not leak the
+    producer thread (it used to block forever on the full queue)."""
+    import threading
+    import time as _time
+    images, kpdir = make_synthetic_dataset(str(tmp_path), n_images=5)
+    ds = PosenetDataset(images, kpdir, image_size=65, output_stride=16)
+    base = threading.active_count()
+    for _ in range(4):
+        gen = ds.iter_batches(1, shuffle=False, prefetch=1)
+        next(gen)          # take one batch, abandon the rest
+        gen.close()
+    deadline = _time.time() + 10.0
+    while threading.active_count() > base and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= base
+
+
 def test_checkpoint_roundtrip(tmp_path):
     model_cfg = ModelConfig(model_id=50, output_stride=16)
     train_cfg = TrainConfig(model_id=50)
