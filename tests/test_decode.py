@@ -182,14 +182,16 @@ def test_single_pose_decode_runs():
     assert float(kp_scores[root_id]) > 0.5
 
 
+@pytest.mark.parametrize("version", [None, 2, 3, 4])
 @pytest.mark.parametrize("grid,k,stride", [
     ((33, 33), 32, 16),     # 513x513 s16 production grid
     ((91, 161), 16, 8),     # stride-8 720p high-accuracy grid (BASELINE #3)
 ])
-def test_pallas_traversal_matches_xla(grid, k, stride):
-    """The pallas one-hot MXU traversal must be bit-identical to the XLA
-    path (interpret mode so it runs on the CPU test backend), including on
-    the large non-square grid v1 could not fit in VMEM."""
+def test_pallas_traversal_matches_xla(grid, k, stride, version):
+    """Every pallas traversal generation (v2 rolled, v3 static-unroll,
+    v4 level-batched, and the grid-size auto-pick) must be bit-identical
+    to the XLA path (interpret mode so it runs on the CPU test backend),
+    including on the large non-square grid v1 could not fit in VMEM."""
     import jax
 
     from posenet_tpu.decode import _prepare_decode, _traverse_all_candidates
@@ -209,7 +211,8 @@ def test_pallas_traversal_matches_xla(grid, k, stride):
         lambda a, b, c, s, d1, d2: _traverse_all_candidates(
             a, b, c, s, d1, d2, h, w, stride))(cs, ck, rc, sov, dft, dbt)
     ps, pc, po = traverse_all_candidates_pallas(
-        cs, ck, rc, sov, dft, dbt, h, w, stride, interpret=True)
+        cs, ck, rc, sov, dft, dbt, h, w, stride, interpret=True,
+        version=version)
 
     np.testing.assert_array_equal(np.asarray(ps), np.asarray(xs))
     np.testing.assert_array_equal(np.asarray(pc), np.asarray(xc))
