@@ -194,3 +194,23 @@ def test_pipeline_spatial_partition():
                                np.asarray(out_b.pose_scores), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_a.keypoint_coords),
                                np.asarray(out_b.keypoint_coords), atol=1e-3)
+
+
+def test_initialize_distributed_single_process():
+    """Single-process fallback must return 0 WITHOUT probing
+    jax.process_count() first — that probe initializes the XLA backend,
+    after which jax.distributed.initialize() always raises and the old
+    code silently fell back to single-process even on real pods.
+    Explicitly-requested multi-process setups must raise, not be
+    swallowed."""
+    import jax
+    import pytest as _pytest
+
+    from posenet_tpu.parallel.mesh import initialize_distributed
+
+    _ = jax.devices()  # backend deliberately up, as in any late call site
+    assert initialize_distributed() == 0
+    assert initialize_distributed() == 0  # idempotent
+    with _pytest.raises((ValueError, RuntimeError)):
+        initialize_distributed(coordinator_address='127.0.0.1:9999',
+                               num_processes=2, process_id=0)
