@@ -148,3 +148,28 @@ def test_quantized_pipeline_decodes_same_poses():
         np.testing.assert_allclose(np.asarray(out_bf.pose_scores)[live],
                                    np.asarray(out_q.pose_scores)[live],
                                    atol=0.05)
+
+
+def test_quantized_pipeline_under_data_mesh():
+    """Quantized trunk + DP mesh: the int8 params pytree must shard
+    (replicate) cleanly and produce the same poses as the unsharded
+    quantized pipeline."""
+    from posenet_tpu.models.model_factory import PoseNet
+    from posenet_tpu.parallel.mesh import make_mesh
+    from posenet_tpu.pipeline import PoseNetPipeline
+
+    cfg_bf, cfg_q = _cfgs(model_id=50, stride=16)
+    params = mobilenet_v1.init_params(jax.random.PRNGKey(0), cfg_bf)
+    frames = np.random.RandomState(3).randint(
+        0, 255, (8, 129, 129, 3), dtype=np.uint8)
+    dcfg = DecodeConfig(min_pose_score=0.0, score_threshold=0.3,
+                        max_candidates=32)
+
+    plain = PoseNetPipeline(PoseNet(params, cfg_q), dcfg)(frames)
+    mesh = make_mesh(8)
+    sharded = PoseNetPipeline(PoseNet(params, cfg_q), dcfg,
+                              mesh=mesh)(frames)
+    np.testing.assert_allclose(np.asarray(plain.pose_scores),
+                               np.asarray(sharded.pose_scores), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(plain.keypoint_coords),
+                               np.asarray(sharded.keypoint_coords), atol=1e-3)
