@@ -6,10 +6,25 @@ throughput (~50M rows/s) caps the walk at ~20 ms/batch128 no matter how the
 ops are batched. This kernel replaces each gather with **one-hot matmuls
 held entirely in VMEM** so the fetches run on the MXU.
 
-v2 — two-stage row-gather over per-target tables. v1 fetched whole table
-rows with a (K, H*W) one-hot against (H*W, 153/96) split tables: 27 MXU
-passes and a 139k-element one-hot build per hop, ~6 ms/batch128, and VMEM
-capped it at ~4k grid cells (stride-8 720p fell back to XLA). v2 instead:
+Kernel lineage (all generations ship; `version=None` auto-picks by grid):
+  v1 (removed): (K, H*W) one-hot against whole split tables — 27 MXU
+      passes + 139k-element one-hot per hop, ~6 ms/b128, VMEM-capped at
+      ~4k cells (stride-8 720p fell back to XLA).
+  v2: two-stage row-gather over per-target tables (below) — 5.5 ms/b128
+      standalone, rolled fori_loop hops, 60-120 s Mosaic compiles.
+  v3: same fetch, but the 32 hops unroll at trace time with STATIC
+      metadata and all per-candidate vectors go K-on-lanes — 4.4 ms/b128,
+      2-6 s compiles. Default for grids > ~4.3k cells.
+  v4: level-batched super-hops — the depth-4 kinematic tree gives 8
+      dependency levels of 2-6 independent edges; each level fetches in
+      ONE block-diagonal one-hot matmul pair over level-stacked tables —
+      3.96 ms/b128. Default for grids <= ~4.3k cells (its one-hot builds
+      scale as L^2*H*K on the VPU, so large grids prefer v3).
+All three are bit-identical to each other on hardware and to the XLA
+reference-semantics path on CPU (tests parametrize every version).
+
+The v2 design that v3/v4 build on — two-stage row-gather over per-target
+tables:
 
 1. The HOST pre-arranges per-target tables: sov (B, 17, H, W*9) — for
    target keypoint t, row y, column f*3W + split*W + x holds the bf16
