@@ -30,6 +30,13 @@ def parse_args():
     parser.add_argument('--allow_random_init', action='store_true',
                         help='fall back to random weights if the tfjs bucket '
                              'is unreachable (offline environments)')
+    parser.add_argument('--resize', type=str, default=None, metavar='HxW',
+                        help='process every image at ONE fixed stride-valid '
+                             'resolution (e.g. 513x513). TPU: each distinct '
+                             'input shape is a separate XLA compilation, so '
+                             'mixed-resolution folders compile once per '
+                             'shape without this; coordinates still come '
+                             'back at source resolution')
     return parser.parse_args()
 
 
@@ -48,10 +55,16 @@ def main():
         f.path for f in os.scandir(args.image_dir)
         if f.is_file() and f.path.endswith(('.png', '.jpg'))]
 
+    target_hw = None
+    if args.resize:
+        h, w = args.resize.lower().split('x')
+        target_hw = (int(h), int(w))
+
     start = time.time()
     for f in filenames:
         input_image, draw_image, output_scale = posenet.read_imgfile(
-            f, scale_factor=args.scale_factor, output_stride=output_stride)
+            f, scale_factor=args.scale_factor, output_stride=output_stride,
+            target_hw=target_hw)
 
         heatmaps, offsets, displacements_fwd, displacements_bwd = model(input_image)
         pose_scores, keypoint_scores, keypoint_coords, pose_offsets = \

@@ -57,14 +57,45 @@ def process_input(source_img: np.ndarray, scale_factor: float = 1.0,
     return input_img, source_img, scale
 
 
+def process_input_fixed(source_img: np.ndarray, target_hw,
+                        output_stride: int = 16):
+    """process_input at a FIXED stride-valid resolution.
+
+    TPU-specific batching aid: every distinct input shape is a separate
+    XLA compilation, so a folder of mixed-resolution images compiles once
+    per resolution on the default path (the reference pays a cudnn
+    autotune per shape instead, utils.py:13-26 has no fixed mode). Routing
+    all images through one target resolution gives exactly one program;
+    decoded coordinates scale back through the same (2,) `scale` contract.
+    """
+    import cv2
+
+    target_width, target_height = valid_resolution(
+        target_hw[1], target_hw[0], output_stride=output_stride)
+    scale = np.array([source_img.shape[0] / target_height,
+                      source_img.shape[1] / target_width])
+    input_img = cv2.resize(source_img, (target_width, target_height),
+                           interpolation=cv2.INTER_LINEAR)
+    input_img = cv2.cvtColor(input_img, cv2.COLOR_BGR2RGB).astype(np.float32)
+    input_img = input_img * (2.0 / 255.0) - 1.0
+    input_img = input_img.transpose((2, 0, 1)).reshape(
+        1, 3, target_height, target_width)
+    return input_img, source_img, scale
+
+
 def read_imgfile(path: str, scale_factor: float = 1.0,
-                 output_stride: int = 16):
-    """Read + preprocess an image file (reference utils.py:36-38)."""
+                 output_stride: int = 16, target_hw=None):
+    """Read + preprocess an image file (reference utils.py:36-38).
+
+    `target_hw` switches to the fixed-resolution path (one XLA program for
+    any mix of source resolutions); default keeps reference semantics."""
     import cv2
 
     img = cv2.imread(path)
     if img is None:
         raise IOError(f"could not read image: {path}")
+    if target_hw is not None:
+        return process_input_fixed(img, target_hw, output_stride)
     return process_input(img, scale_factor, output_stride)
 
 

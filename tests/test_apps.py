@@ -39,6 +39,48 @@ def test_image_demo_main(tmp_path, monkeypatch, capsys):
     assert len(written) == 2  # overlay per input image
 
 
+def test_image_demo_fixed_resize(tmp_path, monkeypatch, capsys):
+    """--resize processes mixed-resolution folders at ONE program shape
+    (TPU compiles per distinct input shape) while coordinates still come
+    back at each image's source resolution."""
+    import cv2
+
+    import image_demo
+
+    img_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(img_dir)
+    rng = np.random.RandomState(1)
+    for i, hw in enumerate([(120, 160), (96, 200)]):   # two resolutions
+        cv2.imwrite(os.path.join(img_dir, f"im{i}.jpg"),
+                    rng.randint(0, 255, (*hw, 3), dtype=np.uint8))
+    monkeypatch.setattr(sys, 'argv', [
+        'image_demo.py', '--model', '50', '--image_dir', img_dir,
+        '--output_dir', out_dir, '--allow_random_init',
+        '--resize', '97x97'])
+    image_demo.main()
+    out = capsys.readouterr().out
+    assert 'Average FPS:' in out
+    written = os.listdir(out_dir)
+    assert len(written) == 2
+    # overlays keep the SOURCE resolutions
+    shapes = sorted(cv2.imread(os.path.join(out_dir, f)).shape[:2]
+                    for f in written)
+    assert shapes == [(96, 200), (120, 160)]
+
+
+def test_process_input_fixed_contract():
+    """Fixed-resolution preprocess honors the (input, source, scale)
+    contract: stride-valid target, scale maps target->source pixels."""
+    from posenet_tpu.preprocess import process_input_fixed
+
+    src = np.random.RandomState(0).randint(0, 255, (120, 160, 3), np.uint8)
+    inp, source, scale = process_input_fixed(src, (97, 97), output_stride=16)
+    assert inp.shape == (1, 3, 97, 97)
+    assert source is src
+    np.testing.assert_allclose(scale, [120 / 97, 160 / 97])
+
+
 def test_image_demo_notxt(tmp_path, monkeypatch, capsys):
     import image_demo
 
