@@ -37,7 +37,9 @@ from posenet_tpu.decode import split_yx
 # Sentinel for missing keypoints: GT loaders pad with -1 (reference
 # ground_truth_dataloop.py:371-379) and unannotated points are (0, 0).
 _DISK_RADIUS = 3
-_MASK_THRESHOLD = 0.1
+# The reference thresholds the Gaussian GT heatmap at 0.1 before dilating
+# (train.py:86-97); offset_targets_and_mask bakes that into its closed-form
+# derivation (see its docstring) rather than materializing the Gaussian.
 
 
 def keypoint_validity(keypoints: jax.Array) -> jax.Array:
@@ -77,9 +79,18 @@ def offset_targets_and_mask(keypoints: jax.Array, height: int, width: int,
     offset_map[p, k, y, x] = keypoint_image_coord - cell_image_coord, the
     exact quantity the decoder adds back at inference
     (decode.py `_traverse`; fixes reference B9 stride mismatch).
-    mask = disk dilation (radius 3) around each valid keypoint — equivalent
-    to the reference's threshold->max_pool dilation of the Gaussian GT
-    heatmap (train.py:86-97) without materializing the Gaussian.
+    mask = the reference's threshold->max_pool dilation of the Gaussian GT
+    heatmap (train.py:86-97), in closed form without materializing the
+    Gaussian. Derivation: the GT generator pastes an 11x11 Gaussian
+    (sigma = 1.1, max-normalized) at round(kp)
+    (ground_truth_dataloop.py:111-137), so {gauss > 0.1} is the integer
+    cell set D = {u : ||u||^2 <= 2*1.1^2*ln(10) ~ 5.57} (all |u_i| <= 2),
+    and the (2r+1)-max-pool dilation admits cell e iff some u in D has
+    |e - u|_inf <= r. That reduces exactly to
+        max(|ey|, |ex|) <= r + 2  and  not (|ey| = r+2 and |ex| = r+2)
+    (the corner needs u = (2,2), which has ||u||^2 = 8 > 5.57). The
+    closed form agrees at image borders too: the witnessing u always lies
+    between round(kp) and e component-wise, hence in-grid.
 
     Returns:
       offsets (P, 17, H, W, 2) float32, mask (P, 17, H, W) float32.
@@ -91,9 +102,12 @@ def offset_targets_and_mask(keypoints: jax.Array, height: int, width: int,
     kp_img = keypoints * output_stride                         # (P, 17, 2)
     offsets = kp_img[:, :, None, None, :] - grid[None, None]   # (P,17,H,W,2)
 
-    d2 = ((yy - keypoints[..., 0][..., None, None]) ** 2 +
-          (xx - keypoints[..., 1][..., None, None]) ** 2)
-    mask = (d2 <= radius ** 2).astype(jnp.float32) * valid[..., None, None]
+    ey = jnp.abs(yy - jnp.round(keypoints[..., 0])[..., None, None])
+    ex = jnp.abs(xx - jnp.round(keypoints[..., 1])[..., None, None])
+    reach = float(radius + 2)
+    mask = ((jnp.maximum(ey, ex) <= reach)
+            & ~((ey >= reach) & (ex >= reach)))
+    mask = mask.astype(jnp.float32) * valid[..., None, None]
     return offsets, mask
 
 

@@ -22,11 +22,9 @@ import numpy as np
 
 from posenet_tpu.constants import OKS_SIGMAS
 
-_SENTINELS = (np.array([0.0, 0.0]), np.array([-1.0, -1.0]))
-
-
 def _is_sentinel(kp: np.ndarray) -> np.ndarray:
-    """(…, 2) -> (…,) bool: keypoint is an unannotated placeholder."""
+    """(…, 2) -> (…,) bool: keypoint is an unannotated placeholder — GT
+    loaders pad with (-1,-1) and unannotated points are (0,0)."""
     return np.all(kp == 0.0, axis=-1) | np.all(kp == -1.0, axis=-1)
 
 
@@ -61,15 +59,15 @@ def calculate_oks(matched_pairs: Sequence[Tuple[int, int]],
                   sigmas: np.ndarray = OKS_SIGMAS) -> float:
     """Mean Object Keypoint Similarity over matched pose pairs.
 
-    COCO definition: per keypoint i, ks_i = exp(-d_i^2 / (2 s^2 sigma_i^2)),
-    averaged over annotated keypoints, then over pairs. (Fixes reference
-    B5 where the score is overwritten by the pair count.)
+    COCO definition (pycocotools cocoeval.py): per keypoint i,
+    ks_i = exp(-d_i^2 / (2 s^2 k_i^2)) with k_i = 2*sigma_i, averaged over
+    annotated keypoints, then over scored pairs. (Fixes reference B5 where
+    the score is overwritten by the pair count.)
     """
     preds = np.asarray(preds, dtype=np.float64)
     gts = np.asarray(gts, dtype=np.float64)
-    if not matched_pairs:
-        return 0.0
     total = 0.0
+    scored = 0
     for i, j in matched_pairs:
         gt = gts[j]
         valid = ~_is_sentinel(gt)
@@ -77,9 +75,10 @@ def calculate_oks(matched_pairs: Sequence[Tuple[int, int]],
             continue
         s = object_scale(gt)
         d2 = ((preds[i] - gt) ** 2).sum(axis=-1)        # (17,)
-        ks = np.exp(-d2 / (2.0 * (s ** 2) * (sigmas ** 2)))
+        ks = np.exp(-d2 / (2.0 * (s ** 2) * (2.0 * sigmas) ** 2))
         total += float(ks[valid].mean())
-    return total / len(matched_pairs)
+        scored += 1
+    return total / scored if scored else 0.0
 
 
 def normalize_keypoints(keypoints: np.ndarray) -> np.ndarray:
@@ -90,14 +89,22 @@ def normalize_keypoints(keypoints: np.ndarray) -> np.ndarray:
     return (kp - kp.mean(axis=0, keepdims=True)) / np.maximum(std, 1e-8)
 
 
-def precision_recall(preds: np.ndarray, gts: np.ndarray,
-                     threshold: float = 2.0) -> Tuple[float, float]:
-    """Keypoint-level precision and recall at a normalized distance
-    threshold over Hungarian-matched poses (reference train.py:275-374
-    semantics, with the B6 guard fixed and one matching pass shared by both
-    metrics)."""
+def _match_statistics(preds: np.ndarray, gts: np.ndarray):
+    """One Hungarian pass -> threshold-independent match statistics.
+
+    Returns (dists, fp0, fn0): `dists` holds the normalized distances of
+    keypoints annotated in GT AND predicted within a matched pair (each
+    contributes tp if dist <= threshold else fp+fn); `fp0`/`fn0` are
+    threshold-independent counts — predictions without a GT annotation,
+    GT annotations without a prediction, and every keypoint of UNMATCHED
+    surplus predicted/GT poses (the reference scores only matched pairs,
+    train.py:275-374, so hallucinated or missed whole poses never count;
+    documented divergence B13)."""
     matched = match_poses(preds, gts)
-    tp = fp = fn = 0
+    mp = {i for i, _ in matched}
+    mg = {j for _, j in matched}
+    dists = []
+    fp0 = fn0 = 0
     for pi, gi in matched:
         pred = normalize_keypoints(preds[pi])
         gt = normalize_keypoints(gts[gi])
@@ -108,15 +115,35 @@ def precision_recall(preds: np.ndarray, gts: np.ndarray,
             pred_missing = _is_sentinel(raw_pred[k])
             if gt_missing:
                 if not pred_missing:
-                    fp += 1       # predicted where GT has no annotation
-                continue
-            if pred_missing:
-                fn += 1
-            elif np.linalg.norm(pred[k] - gt[k]) <= threshold:
-                tp += 1
+                    fp0 += 1      # predicted where GT has no annotation
+            elif pred_missing:
+                fn0 += 1
             else:
-                fp += 1
-                fn += 1
+                dists.append(float(np.linalg.norm(pred[k] - gt[k])))
+    for i in range(len(preds)):   # hallucinated whole poses
+        if i not in mp:
+            fp0 += int((~_is_sentinel(np.asarray(preds[i], np.float64))).sum())
+    for j in range(len(gts)):     # entirely-missed GT poses
+        if j not in mg:
+            fn0 += int((~_is_sentinel(np.asarray(gts[j], np.float64))).sum())
+    return np.asarray(dists), fp0, fn0
+
+
+def precision_recall(preds: np.ndarray, gts: np.ndarray,
+                     threshold: float = 2.0) -> Tuple[float, float]:
+    """Keypoint-level precision and recall at a normalized distance
+    threshold over Hungarian-matched poses (reference train.py:275-374
+    semantics, with the B6 guard fixed, one matching pass shared by both
+    metrics, and surplus unmatched poses counted — B13)."""
+    dists, fp0, fn0 = _match_statistics(preds, gts)
+    return _precision_recall_at(dists, fp0, fn0, threshold)
+
+
+def _precision_recall_at(dists, fp0, fn0, threshold):
+    tp = int((dists <= threshold).sum())
+    miss = len(dists) - tp
+    fp = fp0 + miss
+    fn = fn0 + miss
     precision = tp / (tp + fp) if (tp + fp) > 0 else 0.0
     recall = tp / (tp + fn) if (tp + fn) > 0 else 0.0
     return precision, recall
@@ -132,7 +159,10 @@ def calculate_recall(preds, gts, threshold: float = 2.0) -> float:
 
 def calculate_mAP(precisions: np.ndarray, recalls: np.ndarray) -> float:
     """Average precision via the precision-envelope method over a
-    (precision, recall) sweep (reference train.py:395-425)."""
+    (precision, recall) sweep (reference train.py:395-425, with the
+    integration fixed to the right endpoint: the reference multiplies each
+    recall increment by the precision BEFORE the step, over-crediting the
+    envelope — documented divergence B14)."""
     precisions = np.asarray(precisions, dtype=np.float64)
     recalls = np.asarray(recalls, dtype=np.float64)
     order = np.argsort(recalls)
@@ -140,17 +170,22 @@ def calculate_mAP(precisions: np.ndarray, recalls: np.ndarray) -> float:
     r = np.concatenate(([0.0], recalls[order], [1.0]))
     # Precision envelope: p[i] = max(p[i:], right to left).
     p = np.maximum.accumulate(p[::-1])[::-1]
-    return float(np.sum(np.diff(r) * p[:-1]))
+    return float(np.sum(np.diff(r) * p[1:]))
 
 
 def threshold_sweep(preds, gts, thresholds=None) -> Tuple[np.ndarray, np.ndarray, float]:
     """Precision/recall over a threshold sweep + mAP (the reference sweeps
-    50 thresholds in [0.1, 5.0] per item, train.py:765-779)."""
+    50 thresholds in [0.1, 5.0] per item, train.py:765-779).
+
+    The Hungarian matching and keypoint normalization are
+    threshold-independent, so they run ONCE and all thresholds sweep over
+    the cached distances (the reference redoes the full matching 50x)."""
     if thresholds is None:
         thresholds = np.linspace(0.1, 5.0, 50)
+    dists, fp0, fn0 = _match_statistics(preds, gts)
     ps, rs = [], []
     for t in thresholds:
-        p, r = precision_recall(preds, gts, t)
+        p, r = _precision_recall_at(dists, fp0, fn0, t)
         ps.append(p)
         rs.append(r)
     ps, rs = np.asarray(ps), np.asarray(rs)

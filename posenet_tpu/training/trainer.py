@@ -104,7 +104,14 @@ def evaluate_poses(params, batch, model_cfg: ModelConfig,
         n_pred = int((pose_scores[b] > 0).sum())
         gt = np.asarray(batch['keypoints'][b])
         gt_present = ~np.all((gt == 0) | (gt == -1), axis=(1, 2))
-        gt_poses = gt[gt_present] * model_cfg.output_stride  # grid -> px
+        gt_poses = gt[gt_present].astype(np.float64)
+        # grid -> px, but keep the (0,0)/(-1,-1) missing-keypoint
+        # sentinels UNscaled — scaling them to (-16,-16) would make the
+        # metrics treat every unannotated keypoint as a real annotation.
+        sentinel = np.all((gt_poses == 0) | (gt_poses == -1), axis=-1,
+                          keepdims=True)
+        gt_poses = np.where(sentinel, gt_poses,
+                            gt_poses * model_cfg.output_stride)
         preds = kp_coords[b, :n_pred]
         if n_pred == 0 or len(gt_poses) == 0:
             continue

@@ -188,6 +188,56 @@ def test_precision_counts_fp_on_missing_gt():
     assert r == pytest.approx(1.0)
 
 
+def test_oks_matches_pycocotools_formula():
+    """ks_i = exp(-d^2 / (2 s^2 (2 sigma_i)^2)) — the COCO k_i = 2*sigma_i
+    factor (pycocotools cocoeval.py vars = (sigmas*2)**2)."""
+    gt = np.zeros((1, 17, 2))
+    gt[0, :, 0] = np.linspace(10, 90, 17)
+    gt[0, :, 1] = np.linspace(10, 90, 17)
+    pred = gt.copy()
+    pred[0, 0] += [3.0, 4.0]                     # d = 5 px on the nose
+    s = M.object_scale(gt[0])
+    expected_nose = np.exp(-25.0 / (2 * s**2 * (2 * M.OKS_SIGMAS[0])**2))
+    expected = (expected_nose + 16.0) / 17.0
+    assert M.calculate_oks([(0, 0)], pred, gt) == pytest.approx(expected)
+
+
+def test_oks_denominator_counts_scored_pairs_only():
+    gts = np.random.RandomState(3).uniform(10, 90, (2, 17, 2))
+    gts[1] = -1.0                                # all-sentinel GT pose
+    pairs = [(0, 0), (1, 1)]
+    assert M.calculate_oks(pairs, gts.copy(), gts) == pytest.approx(1.0)
+
+
+def test_precision_recall_counts_unmatched_poses():
+    """Hallucinated surplus poses must cost precision; missed GT poses
+    must cost recall (the reference scores matched pairs only)."""
+    gts = np.random.RandomState(4).uniform(10, 90, (1, 17, 2))
+    # 2 predictions, 1 GT: the surplus pose is all false positives
+    preds = np.stack([gts[0], gts[0] + 500.0])
+    p, r = M.precision_recall(preds, gts, threshold=0.5)
+    assert p == pytest.approx(17 / 34)
+    assert r == pytest.approx(1.0)
+    # 1 prediction, 2 GTs: the missed pose is all false negatives
+    gts2 = np.stack([gts[0], gts[0] + 500.0])
+    p, r = M.precision_recall(gts[:1].copy(), gts2, threshold=0.5)
+    assert p == pytest.approx(1.0)
+    assert r == pytest.approx(17 / 34)
+
+
+def test_threshold_sweep_matches_per_threshold_calls():
+    rng = np.random.RandomState(5)
+    gts = rng.uniform(10, 90, (2, 17, 2))
+    preds = gts + rng.uniform(-30, 30, gts.shape)
+    ts = np.linspace(0.1, 5.0, 50)
+    ps, rs, ap = M.threshold_sweep(preds, gts, ts)
+    for k in (0, 10, 49):
+        p, r = M.precision_recall(preds, gts, ts[k])
+        assert ps[k] == pytest.approx(p)
+        assert rs[k] == pytest.approx(r)
+    assert ap == pytest.approx(M.calculate_mAP(ps, rs))
+
+
 def test_mAP_envelope():
     # classic monotone case: AP of perfect PR curve is 1
     p = np.ones(10)

@@ -46,8 +46,13 @@ def test_offset_targets_point_to_keypoint():
     np.testing.assert_allclose(off[0, 3, 5, 7], [0., 0.])
     np.testing.assert_allclose(off[0, 3, 4, 7], [16., 0.])
     np.testing.assert_allclose(off[0, 3, 5, 8], [0., -16.])
-    assert mask[0, 3, 5, 7] == 1 and mask[0, 3, 5, 10] == 1
-    assert mask[0, 3, 5, 11] == 0             # radius 3 in grid cells
+    # reference mask semantics: {gaussian > 0.1} (cells with d^2 <= 5 of
+    # round(kp)) dilated by a Chebyshev-3 max_pool -> max(|e|) <= 5 minus
+    # the four exact corners (loss.offset_targets_and_mask derivation)
+    assert mask[0, 3, 5, 7] == 1 and mask[0, 3, 5, 12] == 1
+    assert mask[0, 3, 5, 13] == 0             # |ex| = 6: outside reach
+    assert mask[0, 3, 10, 12] == 0            # (5,5) corner excluded
+    assert mask[0, 3, 10, 11] == 1            # (5,4) included
     assert mask[0, 2].sum() == 0              # invalid keypoint -> no mask
 
 
