@@ -38,8 +38,6 @@ def download(checkpoint: str, base_dir: str = BASE_DIR) -> str:
     manifest_path = os.path.join(save_dir, 'manifest.json')
     manifest_bytes = _fetch(posixpath.join(GOOGLE_CLOUD_STORAGE_DIR, checkpoint, 'manifest.json'))
     manifest = json.loads(manifest_bytes)
-    with open(manifest_path, 'w') as f:
-        json.dump(manifest, f)
 
     for entry in manifest.values():
         filename = entry['filename']
@@ -47,4 +45,10 @@ def download(checkpoint: str, base_dir: str = BASE_DIR) -> str:
         blob = _fetch(posixpath.join(GOOGLE_CLOUD_STORAGE_DIR, checkpoint, filename))
         with open(os.path.join(save_dir, filename), 'wb') as f:
             f.write(blob)
+    # Write the manifest LAST: its presence is the converter's
+    # "already downloaded" marker (tfjs2jax.load_tfjs_variables), so an
+    # interrupted shard loop must not leave a poisoned cache that every
+    # later load_model() trusts.
+    with open(manifest_path, 'w') as f:
+        json.dump(manifest, f)
     return save_dir

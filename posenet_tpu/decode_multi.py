@@ -27,7 +27,12 @@ from posenet_tpu.decode import DecodedPoses, decode_batch, decode_single_jit
 def _to_hwc(t) -> jnp.ndarray:
     """Accept CHW (reference layout) array-likes; return HWC jnp array."""
     a = jnp.asarray(t)
-    if a.ndim == 4:  # tolerate an un-squeezed batch dim of 1
+    if a.ndim == 4:  # tolerate an un-squeezed batch dim of 1, NOT a batch
+        if a.shape[0] != 1:
+            raise ValueError(
+                f"decode_multiple_poses takes ONE image's CHW heads; got a "
+                f"batch of {a.shape[0]} — use decode_batch for batched "
+                f"decoding")
         a = a[0]
     return jnp.transpose(a, (1, 2, 0))
 

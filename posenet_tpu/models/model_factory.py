@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import os
+import urllib.error
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -81,7 +82,11 @@ def load_model(model_id: int = 101, output_stride: int = 16,
         try:
             print(f'Cannot find checkpoint {path}, converting from tfjs...')
             tfjs2jax.convert(model_id, model_dir)
-        except OSError as e:
+        except urllib.error.URLError as e:
+            # Only NETWORK failures may fall back to random init; any other
+            # OSError (half-populated shard cache, disk full, permissions)
+            # must surface — silently benchmarking random weights with a
+            # "Download failed" message would be far worse than crashing.
             if allow_random_init:
                 print(f'Download failed ({e}); using random initialization.')
                 params = mobilenet_v1.init_params(jax.random.PRNGKey(seed), cfg)

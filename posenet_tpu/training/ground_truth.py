@@ -48,13 +48,14 @@ def gaussian_heatmaps(keypoints_xy: np.ndarray,
     """
     h, w = heatmap_shape
     half = kernel_size // 2
+    sigma = kernel_size / 10.0      # reference kernel_std = k/10, per call
     kx = np.trunc(keypoints_xy[..., 0])[..., None, None]   # (P,17,1,1)
     ky = np.trunc(keypoints_xy[..., 1])[..., None, None]
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
 
     dy = yy - ky
     dx = xx - kx
-    g = np.exp(-(dy ** 2 + dx ** 2) / (2.0 * GAUSSIAN_SIGMA ** 2))
+    g = np.exp(-(dy ** 2 + dx ** 2) / (2.0 * sigma ** 2))
     window = (np.abs(dy) <= half) & (np.abs(dx) <= half)
     g = g * window
 

@@ -85,29 +85,48 @@ def init_train_state(params, cfg: TrainConfig) -> Tuple[TrainState, optax.Gradie
     return TrainState(params, tx.init(params), jnp.int32(0)), tx
 
 
+_STEP_KEYS = ('image', 'keypoints')
+
+
+def _step_batch(batch):
+    """Project a dataset batch onto the keys the compiled step consumes.
+
+    iter_batches yields extra host-side entries ('filenames',
+    'offset_vectors') whose pytree structure would fail the mesh-compiled
+    step's in_shardings; filtering here makes the step robust to the
+    documented batch format instead of requiring every caller to slice."""
+    return {k: batch[k] for k in _STEP_KEYS}
+
+
 def make_train_step(tx, model_cfg: ModelConfig, train_cfg: TrainConfig,
                     mesh: Optional[jax.sharding.Mesh] = None):
     """Compile the step. With a mesh: batch sharded over 'data', state
-    replicated — the canonical DP layout."""
+    replicated — the canonical DP layout. Accepts any batch dict carrying
+    at least 'image'/'keypoints' (extra keys are dropped host-side)."""
     fn = functools.partial(train_step, tx=tx, model_cfg=model_cfg,
                            train_cfg=train_cfg)
     if mesh is None:
-        return jax.jit(fn)
+        jfn = jax.jit(fn)
+        return lambda state, batch: jfn(state, _step_batch(batch))
     repl = mesh_lib.replicated_sharding(mesh)
     data = mesh_lib.data_sharding(mesh)
-    return jax.jit(
+    jfn = jax.jit(
         fn,
         in_shardings=(repl, {'image': data, 'keypoints': data}),
         out_shardings=(repl, repl),
     )
+    return lambda state, batch: jfn(state, _step_batch(batch))
 
 
 def make_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
                    mesh: Optional[jax.sharding.Mesh] = None):
     fn = functools.partial(eval_step, model_cfg=model_cfg, train_cfg=train_cfg)
     if mesh is None:
-        return jax.jit(fn)
+        jfn = jax.jit(fn)
+        return lambda params, batch: jfn(params, _step_batch(batch))
     repl = mesh_lib.replicated_sharding(mesh)
     data = mesh_lib.data_sharding(mesh)
-    return jax.jit(fn, in_shardings=(repl, {'image': data, 'keypoints': data}),
-                   out_shardings=repl)
+    jfn = jax.jit(fn,
+                  in_shardings=(repl, {'image': data, 'keypoints': data}),
+                  out_shardings=repl)
+    return lambda params, batch: jfn(params, _step_batch(batch))

@@ -57,23 +57,21 @@ def draw_coordinates_to_image_file(
         image_path: str, output_path: str,
         pose_scores: np.ndarray, keypoint_scores: np.ndarray,
         keypoint_coords: np.ndarray, output_scale,
-        min_pose_score: float = 0.25, min_part_score: float = 0.25,
-        resize_to_original: bool = True):
+        min_pose_score: float = 0.25, min_part_score: float = 0.25):
     """Re-read an image, scale decoded coords by `output_scale`, draw the
-    skeleton overlay, and write it out (reference visualizers.py:43-133)."""
+    skeleton overlay, and write it out (reference visualizers.py:43-133).
+    The overlay is drawn on the full-resolution source read, so the output
+    is always at the image's original size."""
     import cv2
 
     img = cv2.imread(image_path)
     if img is None:
         raise IOError(f"could not read {image_path}")
-    orig_h, orig_w = img.shape[:2]
 
     coords = np.asarray(keypoint_coords, dtype=np.float64) * np.asarray(output_scale)
     overlay = posenet.draw_skel_and_kp(
         img, np.asarray(pose_scores), np.asarray(keypoint_scores), coords,
         min_pose_score=min_pose_score, min_part_score=min_part_score)
-    if resize_to_original and overlay.shape[:2] != (orig_h, orig_w):
-        overlay = cv2.resize(overlay, (orig_w, orig_h))
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
     cv2.imwrite(output_path, overlay)
     return overlay
