@@ -12,6 +12,7 @@ average FPS. Two modes:
 """
 
 import argparse
+import os
 import time
 
 import numpy as np
@@ -38,14 +39,17 @@ def parse_args():
     return parser.parse_args()
 
 
-def load_images(args, output_stride):
+def list_images(args):
     import os
 
     filenames = [
         f.path for f in os.scandir(args.image_dir)
         if f.is_file() and f.path.endswith(('.png', '.jpg'))]
-    if len(filenames) > args.num_images:
-        filenames = filenames[:args.num_images]
+    return filenames[:args.num_images]
+
+
+def load_images(args, output_stride):
+    filenames = list_images(args)
     return filenames, {
         f: posenet.read_imgfile(f, 1.0, output_stride)[0] for f in filenames}
 
@@ -53,13 +57,21 @@ def load_images(args, output_stride):
 def main():
     import jax
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_cache"))
     args = parse_args()
     model = posenet.load_model(args.model, output_stride=args.output_stride,
                                allow_random_init=args.allow_random_init)
     output_stride = model.output_stride
     num_images = args.num_images
 
-    filenames, images = load_images(args, output_stride)
+    if args.batch_size > 0:
+        # batch mode needs only the filename list — skip the per-image
+        # float preprocessing that the per-frame mode caches
+        filenames = list_images(args)
+        images = None
+    else:
+        filenames, images = load_images(args, output_stride)
     if not filenames:
         raise SystemExit(f'no images found in {args.image_dir}')
 
@@ -99,18 +111,25 @@ def main():
         print('Average FPS:', n / elapsed)
         return
 
-    # Reference-style per-frame loop.
+    # Reference-style per-frame loop; --profile adds a host-side stage
+    # breakdown (forward vs decode) on top of the device trace.
+    from posenet_tpu.profiling import StageTimer
+    timer = StageTimer()
     start = time.time()
     for i in range(num_images):
         input_image = images[filenames[i % len(filenames)]]
-        heatmaps, offsets, displacement_fwd, displacement_bwd = model(input_image)
-        output = posenet.decode_multiple_poses(
-            heatmaps.squeeze(0), offsets.squeeze(0),
-            displacement_fwd.squeeze(0), displacement_bwd.squeeze(0),
-            output_stride=output_stride,
-            max_pose_detections=10,
-            min_pose_score=0.25)
+        with timer.stage('forward'):
+            heatmaps, offsets, displacement_fwd, displacement_bwd = model(input_image)
+        with timer.stage('decode'):
+            output = posenet.decode_multiple_poses(
+                heatmaps.squeeze(0), offsets.squeeze(0),
+                displacement_fwd.squeeze(0), displacement_bwd.squeeze(0),
+                output_stride=output_stride,
+                max_pose_detections=10,
+                min_pose_score=0.25)
     print('Average FPS:', num_images / (time.time() - start))
+    if args.profile:
+        print(timer.report())
 
 
 if __name__ == "__main__":

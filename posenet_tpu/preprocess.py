@@ -115,11 +115,19 @@ def preprocess_on_device(frame_bgr_u8: jax.Array,
     Bilinear resize + BGR->RGB flip + [-1,1] scaling, all on device. XLA
     fuses the channel flip and affine normalization into the resize's
     output epilogue.
+
+    Standalone utility (the serving pipeline keeps frames at a fixed
+    resolution and normalizes inside the fused program instead; the
+    host/native path handles arbitrary sources). antialias=False matches
+    cv2.INTER_LINEAR / the native resizer — jax.image.resize defaults to
+    antialiased downscaling, which would shift heatmap activations vs the
+    parity-tested host path.
     """
     x = frame_bgr_u8
     if x.ndim == 3:
         x = x[None]
     th, tw = target_hw
     x = x[..., ::-1].astype(jnp.float32)  # BGR -> RGB
-    x = jax.image.resize(x, (x.shape[0], th, tw, 3), method='bilinear')
+    x = jax.image.resize(x, (x.shape[0], th, tw, 3), method='bilinear',
+                         antialias=False)
     return x * (2.0 / 255.0) - 1.0

@@ -71,19 +71,10 @@ def device_time_report(trace_dir: str, top: int = 25) -> str:
         trace_dir, "plugins/profile/*/*.xplane.pb")), key=os.path.getmtime)
     if not paths:
         return f"no xplane trace found under {trace_dir}"
-    try:
-        from tensorflow.python.profiler.internal import _pywrap_profiler  # noqa
-    except ImportError:
-        pass
-    try:
-        # Parse via the raw proto if tensorboard_plugin_profile is absent.
-        from xprof.pywrap import _pywrap_profiler_plugin  # noqa
-    except ImportError:
-        pass
     # Minimal standalone XPlane parse: read varint-delimited fields enough
     # to extract (event name, duration). The XPlane proto is stable; we
     # only need XSpace > XPlane > XLine > XEvent {metadata_id, duration_ps}
-    # and XEventMetadata {id, name}.
+    # and XEventMetadata {id, name}. No TF/xprof dependency.
     try:
         return _parse_xplane(paths[-1], top)
     except Exception as e:  # pragma: no cover - best effort tooling

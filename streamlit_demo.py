@@ -26,7 +26,7 @@ except ImportError:  # pragma: no cover - optional dependency
     st = None
 
 
-def run_model(input_image, model):
+def run_model(input_image, model, min_pose_score: float = 0.25):
     """One frame: forward + decode. input_image is the preprocessed NCHW
     tensor from posenet.process_input."""
     output_stride = model.output_stride
@@ -37,14 +37,15 @@ def run_model(input_image, model):
             dfwd.squeeze(0), dbwd.squeeze(0),
             output_stride=output_stride,
             max_pose_detections=10,
-            min_pose_score=st.session_state.get('min_pose_score', 0.25))
+            min_pose_score=min_pose_score)
     return pose_scores, keypoint_scores, keypoint_coords
 
 
 def annotate_frame(frame, model, scale_factor, min_pose_score, min_part_score):
     input_image, draw_image, output_scale = posenet.process_input(
         frame, scale_factor=scale_factor, output_stride=model.output_stride)
-    pose_scores, keypoint_scores, keypoint_coords = run_model(input_image, model)
+    pose_scores, keypoint_scores, keypoint_coords = run_model(
+        input_image, model, min_pose_score)
     keypoint_coords = keypoint_coords * output_scale
     return posenet.draw_skel_and_kp(
         draw_image, pose_scores, keypoint_scores, keypoint_coords,
@@ -63,14 +64,22 @@ def main():
         min_part_score = st.slider("Min part score", 0.0, 1.0, 0.25)
         scale_factor = st.slider("Scale factor", 0.2, 1.0, 1.0)
         output_dir = st.text_input("Output directory", "./output")
-    st.session_state['min_pose_score'] = min_pose_score
 
     @st.cache_resource
     def get_model(model_id, output_stride):
-        return posenet.load_model(model_id, output_stride=output_stride,
-                                  allow_random_init=True)
+        import urllib.error
+        try:
+            return posenet.load_model(model_id, output_stride=output_stride), True
+        except urllib.error.URLError:
+            # no network egress: keep the UI usable but SAY so — silently
+            # serving random weights would look like a broken detector
+            return posenet.load_model(model_id, output_stride=output_stride,
+                                      allow_random_init=True), False
 
-    model = get_model(model_id, output_stride)
+    model, real_weights = get_model(model_id, output_stride)
+    if not real_weights:
+        st.warning("Checkpoint download failed (no network) — running with "
+                   "RANDOM weights; detections are meaningless.")
     mode = st.radio("Input", ["Upload image", "Upload video", "Try existing image"])
 
     if mode == "Upload image":
@@ -78,6 +87,9 @@ def main():
         if up is not None:
             data = np.frombuffer(up.read(), np.uint8)
             frame = cv2.imdecode(data, cv2.IMREAD_COLOR)
+            if frame is None:
+                st.error("Could not decode the uploaded image.")
+                return
             overlay = annotate_frame(frame, model, scale_factor,
                                      min_pose_score, min_part_score)
             st.image(cv2.cvtColor(overlay, cv2.COLOR_BGR2RGB))
@@ -87,6 +99,8 @@ def main():
         if up is not None:
             tfile = tempfile.NamedTemporaryFile(delete=False, suffix=".mp4")
             tfile.write(up.read())
+            tfile.flush()
+            tfile.close()  # BufferedWriter tail must hit disk before cv2 opens it
             cap = cv2.VideoCapture(tfile.name)
             os.makedirs(output_dir, exist_ok=True)
             out_path = os.path.join(output_dir, "output.mp4")
@@ -102,8 +116,10 @@ def main():
                 overlay = annotate_frame(frame, model, scale_factor,
                                          min_pose_score, min_part_score)
                 if writer is None:
+                    fps = cap.get(cv2.CAP_PROP_FPS) or 15.0
                     writer = cv2.VideoWriter(
-                        out_path, cv2.VideoWriter_fourcc(*"mp4v"), 15,
+                        out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                        fps if fps > 0 else 15.0,
                         (overlay.shape[1], overlay.shape[0]))
                 writer.write(overlay)
                 i += 1
@@ -124,6 +140,9 @@ def main():
             choice = st.selectbox("Image", files)
             if choice:
                 frame = cv2.imread(os.path.join(image_dir, choice))
+                if frame is None:
+                    st.error(f"Could not read {choice}.")
+                    return
                 overlay = annotate_frame(frame, model, scale_factor,
                                          min_pose_score, min_part_score)
                 st.image(cv2.cvtColor(overlay, cv2.COLOR_BGR2RGB))

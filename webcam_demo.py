@@ -44,8 +44,16 @@ def main():
     start = time.time()
     frame_count = 0
     while True:
-        input_image, display_image, output_scale = posenet.read_cap(
-            cap, scale_factor=args.scale_factor, output_stride=output_stride)
+        try:
+            input_image, display_image, output_scale = posenet.read_cap(
+                cap, scale_factor=args.scale_factor, output_stride=output_stride)
+        except IOError:
+            # headless (--no_display) has no 'q' quit path — end the run
+            # when the capture ends instead of crashing without the FPS
+            # summary (interactive mode keeps the reference's hard error)
+            if args.no_display and frame_count:
+                break
+            raise
 
         heatmaps, offsets, displacements_fwd, displacements_bwd = model(input_image)
         pose_scores, keypoint_scores, keypoint_coords, pose_offsets = \
