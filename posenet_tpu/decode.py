@@ -417,7 +417,11 @@ def decode_batch(heatmap, offsets, dfwd, dbwd, output_stride: int,
     On TPU the gather-bound tree walk routes through the pallas one-hot
     MXU kernel (posenet_tpu.ops.pallas.traversal); elsewhere — and when
     cfg.use_pallas is False — the pure-XLA level-batched traversal runs.
-    Both paths are golden-tested against the PyTorch reference.
+    Parity caveat: golden tests pin BOTH paths on CPU and the pallas
+    kernel on TPU; the XLA path ON TPU is NOT reference-exact
+    (--xla_allow_excess_precision FMA-contracts `cell*stride + offset`
+    and ~0.7% of keypoints flip a knife-edge cell) — grids too large for
+    the kernel's VMEM budget take that path.
     """
     h, w = heatmap.shape[1], heatmap.shape[2]
     use_pallas = cfg.use_pallas
@@ -438,7 +442,6 @@ def decode_batch(heatmap, offsets, dfwd, dbwd, output_stride: int,
 
     from posenet_tpu.ops.pallas.traversal import traverse_all_candidates_pallas
 
-    h, w = heatmap.shape[1], heatmap.shape[2]
     prep = jax.vmap(
         lambda hm, o, f, b: _prepare_decode(hm, o, f, b, output_stride, cfg))
     sov, dft, dbt, cand_scores, cand_kp, root_coords = prep(
@@ -468,14 +471,10 @@ def decode_single_pose(heatmap: jax.Array, offsets: jax.Array,
 
     Returns (keypoint_scores (17,), keypoint_coords (17,2), root_id).
     """
-    h, w, _ = heatmap.shape
-    mask = local_max_mask(heatmap, score_threshold, LOCAL_MAXIMUM_RADIUS)
-    masked = jnp.where(mask, heatmap, 0.0)          # (H, W, 17)
-    flat = masked.reshape(h * w, NUM_KEYPOINTS)
-    best_idx = jnp.argmax(flat, axis=0)              # (17,)
-    best_scores = jnp.take_along_axis(flat, best_idx[None], axis=0)[0]
-    best_y = best_idx // w
-    best_x = best_idx % w
+    best_scores, best_cells = build_part_with_score_single_pose(
+        score_threshold, LOCAL_MAXIMUM_RADIUS, heatmap)
+    best_y = best_cells[:, 0]
+    best_x = best_cells[:, 1]
 
     root_id = jnp.argmax(best_scores)
     root_cell = jnp.stack([best_y[root_id], best_x[root_id]]).astype(jnp.float32)

@@ -259,6 +259,53 @@ def forward(params: Dict[str, Any], x: jax.Array, cfg: ModelConfig,
     # keep everything bf16 so inter-layer activations cost half the HBM
     # bandwidth (the quality headroom of ReLU6-bounded activations makes
     # bf16 rounding negligible for this model).
+    x = _run_trunk(params, x, cfg, plan, precision=precision,
+                   valid_h=valid_h)
+
+    if stop_trunk_gradient:
+        # Heads-only fine-tuning: cutting the gradient at the trunk boundary
+        # lets XLA dead-code-eliminate the ENTIRE backbone backward pass
+        # (the reference's requires_grad=False freezing has the same effect,
+        # train.py:620-634; optax.masked alone still computes the unused
+        # backbone grads).
+        x = lax.stop_gradient(x)
+
+    return run_heads(params['heads'], x, precision=precision)
+
+
+def run_heads(heads_params, feat, precision=None):
+    """Fused 4-in-1 head conv + output dict — the ONE copy of the head
+    contract (the bf16/f32 and quantized forwards both call it).
+
+    Heads always accumulate in f32: offsets/displacements are regressed
+    pixel values consumed by the decoder's coordinate math. All four 1x1
+    heads run as ONE conv over concatenated output channels so the
+    1024-ch trunk features are read from HBM once instead of four times
+    (at batch 128 that is ~1 GB of traffic saved); results are channel
+    slices. Numerically identical to separate convs — each output channel
+    only contracts with its own kernel column."""
+    head_order = ('heatmap', 'offset', 'displacement_fwd', 'displacement_bwd')
+    w_all = jnp.concatenate([heads_params[n]['w'] for n in head_order], axis=-1)
+    b_all = jnp.concatenate([heads_params[n]['b'] for n in head_order], axis=-1)
+    all_heads = _conv2d(feat, w_all, b_all, precision=precision,
+                        accum_dtype=jnp.float32).astype(jnp.float32)
+    c0 = HEAD_CHANNELS['heatmap']
+    c1 = c0 + HEAD_CHANNELS['offset']
+    c2 = c1 + HEAD_CHANNELS['displacement_fwd']
+    heatmap_logits = all_heads[..., :c0]
+    return {
+        'heatmap': jax.nn.sigmoid(heatmap_logits),
+        'heatmap_logits': heatmap_logits,
+        'offset': all_heads[..., c0:c1],
+        'displacement_fwd': all_heads[..., c1:c2],
+        'displacement_bwd': all_heads[..., c2:],
+    }
+
+
+def _run_trunk(params, x, cfg: ModelConfig, plan, precision=None,
+               valid_h=None):
+    """The 14-layer trunk — the ONE copy of the layer loop (forward and
+    backbone_features both run it, so they cannot drift)."""
     accum = jnp.float32 if cfg.compute_dtype == jnp.float32 else None
     x = x.astype(cfg.compute_dtype)
     vh = valid_h
@@ -296,57 +343,14 @@ def forward(params: Dict[str, Any], x: jax.Array, cfg: ModelConfig,
         if vh is not None:
             vh = _valid_h_out(vh, layer['stride'], layer['rate'])
         x = x.astype(cfg.compute_dtype)
-
-    if stop_trunk_gradient:
-        # Heads-only fine-tuning: cutting the gradient at the trunk boundary
-        # lets XLA dead-code-eliminate the ENTIRE backbone backward pass
-        # (the reference's requires_grad=False freezing has the same effect,
-        # train.py:620-634; optax.masked alone still computes the unused
-        # backbone grads).
-        x = lax.stop_gradient(x)
-
-    # Heads always accumulate in f32: offsets/displacements are regressed
-    # pixel values consumed by the decoder's coordinate math. All four 1x1
-    # heads run as ONE conv over concatenated output channels so the
-    # 1024-ch trunk features are read from HBM once instead of four times
-    # (at batch 128 that is ~1 GB of traffic saved); results are channel
-    # slices. Numerically identical to separate convs — each output channel
-    # only contracts with its own kernel column.
-    hp = params['heads']
-    head_order = ('heatmap', 'offset', 'displacement_fwd', 'displacement_bwd')
-    w_all = jnp.concatenate([hp[n]['w'] for n in head_order], axis=-1)
-    b_all = jnp.concatenate([hp[n]['b'] for n in head_order], axis=-1)
-    all_heads = _conv2d(x, w_all, b_all, precision=precision,
-                        accum_dtype=jnp.float32).astype(jnp.float32)
-    c0 = HEAD_CHANNELS['heatmap']
-    c1 = c0 + HEAD_CHANNELS['offset']
-    c2 = c1 + HEAD_CHANNELS['displacement_fwd']
-    heatmap_logits = all_heads[..., :c0]
-    return {
-        'heatmap': jax.nn.sigmoid(heatmap_logits),
-        'heatmap_logits': heatmap_logits,
-        'offset': all_heads[..., c0:c1],
-        'displacement_fwd': all_heads[..., c1:c2],
-        'displacement_bwd': all_heads[..., c2:],
-    }
+    return x
 
 
 def backbone_features(params, x, cfg: ModelConfig, precision=None):
-    """Backbone trunk only (pre-head features), for debugging/feature taps."""
+    """Backbone trunk only (pre-head features), for debugging/feature taps.
+    Same layer loop (and f32-parity accumulation rule) as forward()."""
     plan = stride_plan(cfg.model_id, cfg.output_stride)
-    x = x.astype(cfg.compute_dtype)
-    for layer, p in zip(plan, params['backbone']):
-        if layer['conv_type'] == 'input':
-            x = _relu6(_conv2d(x, p['w'], p['b'], stride=layer['stride'],
-                               dilation=layer['rate'], precision=precision))
-        else:
-            c_in = p['dw_w'].shape[-1]
-            x = _relu6(_conv2d(x, p['dw_w'], p['dw_b'], stride=layer['stride'],
-                               dilation=layer['rate'], groups=c_in,
-                               precision=precision))
-            x = _relu6(_conv2d(x, p['pw_w'], p['pw_b'], precision=precision))
-        x = x.astype(cfg.compute_dtype)
-    return x
+    return _run_trunk(params, x, cfg, plan, precision=precision)
 
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'precision'))
@@ -362,7 +366,9 @@ def cast_params(params: Dict[str, Any], dtype) -> Dict[str, Any]:
     kernel_keys = {'w', 'dw_w', 'pw_w'}
 
     def cast_layer(layer):
-        return {k: (jnp.asarray(v, dtype) if k in kernel_keys else jnp.asarray(v))
+        # biases explicitly f32 (not passthrough): a param_dtype=bf16 pytree
+        # would otherwise carry bf16 biases into the f32-accum epilogue
+        return {k: jnp.asarray(v, dtype if k in kernel_keys else jnp.float32)
                 for k, v in layer.items()}
 
     return {

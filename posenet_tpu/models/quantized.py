@@ -68,8 +68,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from posenet_tpu.config import ModelConfig
-from posenet_tpu.models.mobilenet_v1 import (HEAD_CHANNELS, _conv2d, _relu6,
-                                             stride_plan)
+from posenet_tpu.models import mobilenet_v1
+from posenet_tpu.models.mobilenet_v1 import _conv2d, _relu6, stride_plan
 
 # Activation quantization constants: post-ReLU6 x in [0, 6] maps to
 # q in [-127, 127] via q = round(x * QSCALE) + QZERO.
@@ -171,25 +171,9 @@ def forward_quantized(qparams: Dict[str, Any], x: jax.Array,
             # head regression reads full-precision trunk features.
             feat = y.astype(jnp.bfloat16)
 
-    # Heads: identical to mobilenet_v1.forward — one fused 1x1 conv over
-    # the concatenated head channels, f32 accumulation.
-    hp = qparams['heads']
-    head_order = ('heatmap', 'offset', 'displacement_fwd', 'displacement_bwd')
-    w_all = jnp.concatenate([hp[n]['w'] for n in head_order], axis=-1)
-    b_all = jnp.concatenate([hp[n]['b'] for n in head_order], axis=-1)
-    all_heads = _conv2d(feat, w_all, b_all, precision=None,
-                        accum_dtype=jnp.float32).astype(jnp.float32)
-    c0 = HEAD_CHANNELS['heatmap']
-    c1 = c0 + HEAD_CHANNELS['offset']
-    c2 = c1 + HEAD_CHANNELS['displacement_fwd']
-    heatmap_logits = all_heads[..., :c0]
-    return {
-        'heatmap': jax.nn.sigmoid(heatmap_logits),
-        'heatmap_logits': heatmap_logits,
-        'offset': all_heads[..., c0:c1],
-        'displacement_fwd': all_heads[..., c1:c2],
-        'displacement_bwd': all_heads[..., c2:],
-    }
+    # Heads: the ONE shared fused head conv (mobilenet_v1.run_heads) so
+    # the quantized path cannot drift from the head contract.
+    return mobilenet_v1.run_heads(qparams['heads'], feat)
 
 
 @functools.partial(jax.jit, static_argnames=('cfg',))

@@ -255,6 +255,13 @@ def sepconv_pallas(x, dw_w, dw_b, pw_w, pw_b, tr: int = 32,
     out_w = w if out_w is None else out_w
     if w % 8 or out_w % 8:
         raise ValueError(f'W and out_w must be multiples of 8, got {w}, {out_w}')
+    if c_in % 128:
+        raise ValueError(
+            f'sepconv_pallas requires C_in % 128 == 0 (full-lane DMA '
+            f'constraint), got {c_in}; fall back to the XLA path')
+    if x.dtype != jnp.bfloat16:
+        raise ValueError(f'sepconv_pallas requires bf16 activations, '
+                         f'got {x.dtype}')
     if not (0 < valid_w <= w and valid_w <= out_w):
         raise ValueError(f'bad valid_w {valid_w} for w={w}, out_w={out_w}')
     tr = min(tr, h)
