@@ -35,9 +35,10 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     # the XLA backend, after which jax.distributed.initialize() always
     # raises ("must be called before any JAX calls ..."), which previously
     # made this function silently fall back to single-process on pods.
-    # Guard idempotence via jax.distributed's own client state instead.
-    client = getattr(jax._src.distributed.global_state, 'client', None)
-    if client is not None:
+    # Guard idempotence via the public is_initialized() (jax>=0.4.26);
+    # on older jax without it, fall through and let initialize() raise
+    # into the handled no-backend path below.
+    if getattr(jax.distributed, 'is_initialized', lambda: False)():
         return jax.process_index()  # already initialized
     try:
         jax.distributed.initialize(

@@ -25,6 +25,7 @@ Documented divergences (bug fixes, SURVEY.md Appendix B):
 from __future__ import annotations
 
 import functools
+import math
 from typing import Dict, Tuple
 
 import jax
@@ -72,7 +73,8 @@ def binary_disk_targets(keypoints: jax.Array, height: int, width: int,
 
 def offset_targets_and_mask(keypoints: jax.Array, height: int, width: int,
                             output_stride: int,
-                            radius: int = _DISK_RADIUS
+                            radius: int = _DISK_RADIUS,
+                            kernel_size: int = 11
                             ) -> Tuple[jax.Array, jax.Array]:
     """Build GT offset maps + regression mask.
 
@@ -81,16 +83,24 @@ def offset_targets_and_mask(keypoints: jax.Array, height: int, width: int,
     (decode.py `_traverse`; fixes reference B9 stride mismatch).
     mask = the reference's threshold->max_pool dilation of the Gaussian GT
     heatmap (train.py:86-97), in closed form without materializing the
-    Gaussian. Derivation: the GT generator pastes an 11x11 Gaussian
-    (sigma = 1.1, max-normalized) at round(kp)
-    (ground_truth_dataloop.py:111-137), so {gauss > 0.1} is the integer
-    cell set D = {u : ||u||^2 <= 2*1.1^2*ln(10) ~ 5.57} (all |u_i| <= 2),
-    and the (2r+1)-max-pool dilation admits cell e iff some u in D has
-    |e - u|_inf <= r. That reduces exactly to
-        max(|ey|, |ex|) <= r + 2  and  not (|ey| = r+2 and |ex| = r+2)
-    (the corner needs u = (2,2), which has ||u||^2 = 8 > 5.57). The
-    closed form agrees at image borders too: the witnessing u always lies
-    between round(kp) and e component-wise, hence in-grid.
+    Gaussian. Derivation: the GT generator pastes a k x k Gaussian
+    (sigma = k/10, max-normalized so the center cell is 1) at the
+    TRUNCATED cell c = trunc(kp) (ground_truth_dataloop.py:111-137 uses
+    int(); gaussian_heatmaps here matches). Hence
+        {gauss > 0.1} = D = {u in Z^2 : ||u - c||^2 < 2 sigma^2 ln 10}
+    (strict, matching `> threshold`; D always fits the k x k paste window
+    since its radius 0.2146*k < k//2). The (2r+1) max-pool with padding r
+    (train.py:93-95) admits cell e iff some u in D has |e - u|_inf <= r;
+    minimizing ||u - c|| over that L-inf box per axis gives the exact
+    closed form
+        max(|ey - cy| - r, 0)^2 + max(|ex - cx| - r, 0)^2 < 2 sigma^2 ln 10.
+    It agrees at image borders too: the witnessing u (the per-axis clamp
+    of c into [e - r, e + r]) lies between c and e component-wise, hence
+    in-grid. For (kernel_size=11, radius=3) this reproduces the previous
+    hard-coded rule max(|ey|,|ex|) <= 5 minus the four (5,5) corners.
+
+    Pass the SAME kernel_size the dataset's heatmaps were generated with
+    (ground_truth.GAUSSIAN_KERNEL_SIZE by default).
 
     Returns:
       offsets (P, 17, H, W, 2) float32, mask (P, 17, H, W) float32.
@@ -102,11 +112,12 @@ def offset_targets_and_mask(keypoints: jax.Array, height: int, width: int,
     kp_img = keypoints * output_stride                         # (P, 17, 2)
     offsets = kp_img[:, :, None, None, :] - grid[None, None]   # (P,17,H,W,2)
 
-    ey = jnp.abs(yy - jnp.round(keypoints[..., 0])[..., None, None])
-    ex = jnp.abs(xx - jnp.round(keypoints[..., 1])[..., None, None])
-    reach = float(radius + 2)
-    mask = ((jnp.maximum(ey, ex) <= reach)
-            & ~((ey >= reach) & (ex >= reach)))
+    ey = jnp.abs(yy - jnp.trunc(keypoints[..., 0])[..., None, None])
+    ex = jnp.abs(xx - jnp.trunc(keypoints[..., 1])[..., None, None])
+    dy = jnp.maximum(ey - radius, 0.0)
+    dx = jnp.maximum(ex - radius, 0.0)
+    disk_r2 = 2.0 * (kernel_size / 10.0) ** 2 * math.log(10.0)
+    mask = (dy * dy + dx * dx) < disk_r2
     mask = mask.astype(jnp.float32) * valid[..., None, None]
     return offsets, mask
 
@@ -126,7 +137,8 @@ def smooth_l1(pred: jax.Array, target: jax.Array) -> jax.Array:
 def heatmap_offset_loss(heatmap_logits: jax.Array, pred_offsets: jax.Array,
                         keypoints: jax.Array, output_stride: int,
                         heatmap_weight: float = 4.0,
-                        offset_weight: float = 1.0
+                        offset_weight: float = 1.0,
+                        gaussian_kernel_size: int = 11
                         ) -> Dict[str, jax.Array]:
     """Single-item loss.
 
@@ -156,7 +168,8 @@ def heatmap_offset_loss(heatmap_logits: jax.Array, pred_offsets: jax.Array,
     # keeping that normalization so loss magnitudes are comparable).
     off_yx = jnp.transpose(split_yx(pred_offsets, NUM_KEYPOINTS),
                            (2, 0, 1, 3))                         # (17,H,W,2)
-    gt_off, mask = offset_targets_and_mask(keypoints, h, w, output_stride)
+    gt_off, mask = offset_targets_and_mask(
+        keypoints, h, w, output_stride, kernel_size=gaussian_kernel_size)
     m = mask[..., None]                                          # (P,17,H,W,1)
     per_pose_off = jnp.mean(
         smooth_l1(off_yx[None] * m, gt_off * m), axis=(1, 2, 3, 4))
@@ -169,10 +182,12 @@ def heatmap_offset_loss(heatmap_logits: jax.Array, pred_offsets: jax.Array,
 
 
 def batched_loss(heatmap_logits, pred_offsets, keypoints, output_stride: int,
-                 heatmap_weight: float = 4.0, offset_weight: float = 1.0):
+                 heatmap_weight: float = 4.0, offset_weight: float = 1.0,
+                 gaussian_kernel_size: int = 11):
     """vmap over the batch axis, mean-reduced."""
     per_item = jax.vmap(
         lambda hl, po, kp: heatmap_offset_loss(
-            hl, po, kp, output_stride, heatmap_weight, offset_weight)
+            hl, po, kp, output_stride, heatmap_weight, offset_weight,
+            gaussian_kernel_size)
     )(heatmap_logits, pred_offsets, keypoints)
     return jax.tree.map(jnp.mean, per_item)

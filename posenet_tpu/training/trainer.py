@@ -88,21 +88,20 @@ def restore_checkpoint(ckpt_dir: str, template: ts.TrainState) -> Optional[ts.Tr
     return ts.TrainState(*restored)
 
 
-def evaluate_poses(params, batch, model_cfg: ModelConfig,
-                   decode_cfg: DecodeConfig):
-    """Decode predictions for a batch and score them against GT keypoints
-    (host-side Hungarian/OKS/mAP — reference train.py:757-779)."""
-    out = mobilenet_v1.forward_jit(params, jnp.asarray(batch['image']), model_cfg)
-    decoded = decode_batch(out['heatmap'], out['offset'],
-                           out['displacement_fwd'], out['displacement_bwd'],
-                           model_cfg.output_stride, decode_cfg)
-    kp_coords = np.asarray(decoded.keypoint_coords)  # (B, P, 17, 2) image px
-    pose_scores = np.asarray(decoded.pose_scores)
+def score_decoded_poses(kp_coords: np.ndarray, pose_scores: np.ndarray,
+                        gt_keypoints: np.ndarray, output_stride: int):
+    """Score decoded predictions against GT keypoints for one batch.
 
+    Args:
+      kp_coords: (B, P, 17, 2) decoded keypoint coords, image px.
+      pose_scores: (B, P) decoded pose scores (0 = empty slot).
+      gt_keypoints: (B, Pmax, 17, 2) GT grid coords, sentinel-padded.
+    Returns: (mean OKS, mean mAP) over scoreable images.
+    """
     oks_vals, maps = [], []
     for b in range(kp_coords.shape[0]):
         n_pred = int((pose_scores[b] > 0).sum())
-        gt = np.asarray(batch['keypoints'][b])
+        gt = np.asarray(gt_keypoints[b])
         gt_present = ~np.all((gt == 0) | (gt == -1), axis=(1, 2))
         gt_poses = gt[gt_present].astype(np.float64)
         # grid -> px, but keep the (0,0)/(-1,-1) missing-keypoint
@@ -111,16 +110,34 @@ def evaluate_poses(params, batch, model_cfg: ModelConfig,
         sentinel = np.all((gt_poses == 0) | (gt_poses == -1), axis=-1,
                           keepdims=True)
         gt_poses = np.where(sentinel, gt_poses,
-                            gt_poses * model_cfg.output_stride)
+                            gt_poses * output_stride)
         preds = kp_coords[b, :n_pred]
-        if n_pred == 0 or len(gt_poses) == 0:
-            continue
+        if n_pred == 0 and len(gt_poses) == 0:
+            continue  # nothing to score either way
+        # Zero-prediction images with GT (and predictions with no GT) MUST
+        # still be scored: threshold_sweep counts every keypoint of
+        # unmatched poses as FN/FP (metrics.py _match_statistics, B13), so
+        # OKS/recall/mAP correctly drop to 0 instead of the image silently
+        # improving the average by vanishing from it.
         pairs = metrics_lib.match_poses(preds, gt_poses)
         oks_vals.append(metrics_lib.calculate_oks(pairs, preds, gt_poses))
         _, _, ap = metrics_lib.threshold_sweep(preds, gt_poses)
         maps.append(ap)
     return (float(np.mean(oks_vals)) if oks_vals else 0.0,
             float(np.mean(maps)) if maps else 0.0)
+
+
+def evaluate_poses(params, batch, model_cfg: ModelConfig,
+                   decode_cfg: DecodeConfig):
+    """Decode predictions for a batch and score them against GT keypoints
+    (host-side Hungarian/OKS/mAP — reference train.py:757-779)."""
+    out = mobilenet_v1.forward_jit(params, jnp.asarray(batch['image']), model_cfg)
+    decoded = decode_batch(out['heatmap'], out['offset'],
+                           out['displacement_fwd'], out['displacement_bwd'],
+                           model_cfg.output_stride, decode_cfg)
+    return score_decoded_poses(
+        np.asarray(decoded.keypoint_coords), np.asarray(decoded.pose_scores),
+        np.asarray(batch['keypoints']), model_cfg.output_stride)
 
 
 def dump_visual_diagnostics(params, batch, dataset: PosenetDataset,

@@ -23,3 +23,17 @@ import sys
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+
+# Build the native C++ preprocess library so its parity test never silently
+# skips on a clean checkout (the .so is deliberately not committed).
+_NATIVE_DIR = os.path.join(REPO_ROOT, "native")
+_NATIVE_SO = os.path.join(_NATIVE_DIR, "libposenet_preprocess.so")
+if not os.path.exists(_NATIVE_SO):
+    import subprocess
+
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        print(f"warning: native build failed ({e}); "
+              "native-preprocess tests will skip", file=sys.stderr)

@@ -190,3 +190,52 @@ def test_train_loop_with_pose_metrics(tmp_path):
     logger = MetricLogger(verbose=False)
     train(ds, ds, cfg, logger=logger, resume=False, eval_pose_metrics=True)
     assert 'oks' in logger.history[0] or 'test_loss' in logger.history[0]
+
+
+def test_score_decoded_zero_predictions_counts_fn():
+    """An image where the model predicts NOTHING but GT poses exist must
+    drag OKS/recall/mAP to 0 — not silently vanish from the average
+    (round-2 verdict weak #3: the old n_pred==0 skip made metrics RISE as
+    the model degraded toward silence)."""
+    from posenet_tpu.training.trainer import score_decoded_poses
+
+    stride = 16
+    gt = np.full((1, 15, 17, 2), -1.0, np.float32)
+    gt[0, 0] = np.random.RandomState(0).uniform(2, 30, (17, 2))
+    # no predictions at all
+    kp_coords = np.zeros((1, 10, 17, 2), np.float64)
+    pose_scores = np.zeros((1, 10), np.float64)
+    oks, ap = score_decoded_poses(kp_coords, pose_scores, gt, stride)
+    assert oks == 0.0 and ap == 0.0
+
+    # sanity: a perfect prediction of the same GT scores ~1.0 OKS
+    kp_coords[0, 0] = gt[0, 0] * stride
+    pose_scores[0, 0] = 0.9
+    oks2, ap2 = score_decoded_poses(kp_coords, pose_scores, gt, stride)
+    assert oks2 > 0.99 and ap2 > 0.9
+
+    # averaging: one perfect image + one silent image with GT halves both
+    gt2 = np.concatenate([gt, gt], axis=0)
+    kp2 = np.concatenate([kp_coords, np.zeros_like(kp_coords)], axis=0)
+    ps2 = np.concatenate([pose_scores, np.zeros_like(pose_scores)], axis=0)
+    oks3, ap3 = score_decoded_poses(kp2, ps2, gt2, stride)
+    assert abs(oks3 - oks2 / 2) < 1e-9 and abs(ap3 - ap2 / 2) < 1e-9
+
+
+def test_score_decoded_predictions_without_gt_count_fp():
+    """Symmetric case: hallucinated poses on a GT-empty image must yield
+    zero precision/mAP (and not be skipped)."""
+    from posenet_tpu.training.trainer import score_decoded_poses
+
+    gt = np.full((1, 15, 17, 2), -1.0, np.float32)   # no GT poses
+    kp_coords = np.zeros((1, 10, 17, 2), np.float64)
+    kp_coords[0, 0] = np.random.RandomState(1).uniform(10, 400, (17, 2))
+    pose_scores = np.zeros((1, 10), np.float64)
+    pose_scores[0, 0] = 0.8
+    oks, ap = score_decoded_poses(kp_coords, pose_scores, gt, 16)
+    assert oks == 0.0 and ap == 0.0
+
+    # while a truly empty image (no GT, no preds) still contributes nothing
+    empty = score_decoded_poses(np.zeros((1, 10, 17, 2)),
+                                np.zeros((1, 10)), gt, 16)
+    assert empty == (0.0, 0.0)

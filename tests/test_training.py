@@ -47,13 +47,49 @@ def test_offset_targets_point_to_keypoint():
     np.testing.assert_allclose(off[0, 3, 4, 7], [16., 0.])
     np.testing.assert_allclose(off[0, 3, 5, 8], [0., -16.])
     # reference mask semantics: {gaussian > 0.1} (cells with d^2 <= 5 of
-    # round(kp)) dilated by a Chebyshev-3 max_pool -> max(|e|) <= 5 minus
+    # trunc(kp)) dilated by a Chebyshev-3 max_pool -> max(|e|) <= 5 minus
     # the four exact corners (loss.offset_targets_and_mask derivation)
     assert mask[0, 3, 5, 7] == 1 and mask[0, 3, 5, 12] == 1
     assert mask[0, 3, 5, 13] == 0             # |ex| = 6: outside reach
     assert mask[0, 3, 10, 12] == 0            # (5,5) corner excluded
     assert mask[0, 3, 10, 11] == 1            # (5,4) included
     assert mask[0, 2].sum() == 0              # invalid keypoint -> no mask
+
+
+@pytest.mark.parametrize('kernel_size', [7, 11, 15])
+def test_offset_mask_matches_materialized_reference(kernel_size):
+    """The closed-form mask must equal the reference pipeline materialized:
+    Gaussian paste at trunc(kp) -> threshold > 0.1 -> (2r+1) max-pool
+    dilation (reference train.py:86-97) — including FRACTIONAL keypoints
+    with fractional part >= 0.5, where a round() center would shift the
+    mask one cell (round-2 advisor finding)."""
+    from scipy.ndimage import maximum_filter
+
+    from posenet_tpu.training.ground_truth import gaussian_heatmaps
+
+    h = w = 33
+    radius = 3
+    rng = np.random.RandomState(7)
+    # deliberately include >= .5 fractional parts and border-adjacent cells
+    kp_yx = np.stack([rng.uniform(0, h - 1, (2, 17)),
+                      rng.uniform(0, w - 1, (2, 17))], axis=-1)
+    kp_yx[0, 0] = [10.7, 12.5]
+    kp_yx[0, 1] = [0.9, 31.6]
+    kp_yx[1, 0] = [-1.0, -1.0]   # sentinel: no mask
+
+    _, mask = offset_targets_and_mask(
+        jnp.asarray(kp_yx, jnp.float32), h, w, output_stride=16,
+        radius=radius, kernel_size=kernel_size)
+    mask = np.asarray(mask)
+
+    kp_xy = kp_yx[..., ::-1]
+    gauss = gaussian_heatmaps(kp_xy, (h, w), kernel_size=kernel_size)
+    binary = (gauss > 0.1).astype(np.float32)
+    ref = maximum_filter(binary, size=(1, 1, 2 * radius + 1, 2 * radius + 1),
+                         mode='constant', cval=0.0)
+    valid = np.asarray(keypoint_validity(jnp.asarray(kp_yx, jnp.float32)))
+    ref = ref * valid[..., None, None]
+    np.testing.assert_array_equal(mask, ref)
 
 
 def test_loss_decreases_with_correct_prediction():
