@@ -6,8 +6,20 @@ vs_baseline compares against the reference's only published number, the
 README's "200-300 fps" forward-only GPU claim (BASELINE.md) — we use its
 midpoint, 250 img/s, noting our number additionally includes the decode the
 reference runs on the host.
+
+HEADLINE HONESTY (round-3 change): the greedy decode is data-dependent —
+near-flat heatmaps (what random weights produce from noise frames) let the
+accept loop exit almost immediately, flattering throughput by ~10%. The
+headline is therefore measured on PEAKED multi-person heatmaps (3 gaussian
+people per frame): the backbone forward runs on real frames and the decode
+consumes synthesized peaked heads, with jax.lax.optimization_barrier tying
+the decode inputs to the forward outputs so XLA schedules them serially in
+ONE program exactly like the production fused path (decode cannot start
+before the forward finishes). The old flat-content number is kept as an
+extra.
 """
 
+import functools
 import json
 import time
 
@@ -21,6 +33,7 @@ def main():
     import jax.numpy as jnp
 
     from posenet_tpu.config import DecodeConfig, ModelConfig
+    from posenet_tpu.decode import decode_batch
     from posenet_tpu.models import mobilenet_v1
     from posenet_tpu.pipeline import infer_jit
 
@@ -39,41 +52,8 @@ def main():
                                  (batch, size, size, 3)) * 255).astype(jnp.uint8)
     jax.block_until_ready(frames)
 
-    def barrier(out):
-        # Force a host round-trip on a tiny output: the only reliable
-        # execution barrier on the tunneled axon platform, where
-        # block_until_ready can return before the computation finishes.
-        return np.asarray(out.pose_scores).ravel()[0]
-
-    # Warm up / compile.
-    barrier(infer_jit(params, frames, cfg, decode_cfg))
-
-    # Measure steady state: dispatch n_iters batches, one barrier at the
-    # end — the tunnel round-trip amortizes to <1 ms/batch over 40 iters.
-    n_iters = 40
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        out = infer_jit(params, frames, cfg, decode_cfg)
-    barrier(out)
-    elapsed = time.perf_counter() - start
-
-    imgs_per_s = n_iters * batch / elapsed
-
-    # p50 per-batch latency (single dispatch + barrier; includes tunnel RTT).
-    lat = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        barrier(infer_jit(params, frames, cfg, decode_cfg))
-        lat.append((time.perf_counter() - t0) * 1000)
-    p50_ms = float(np.percentile(lat, 50))
-
-    # Representative-input sanity: the greedy accept loop early-exits on the
-    # candidate stream, so decode time is data-dependent. Noise frames
-    # through random weights give near-flat heatmaps; ALSO time the decode
-    # stage on peaked multi-person heatmaps (gaussian blobs per keypoint,
-    # generated on device) to confirm the headline is not noise-optimistic.
-    from posenet_tpu.decode import decode_batch
-
+    # Peaked multi-person heads (3 gaussian-blob people x 17 keypoints per
+    # frame, generated on device) — realistic decode load.
     r = (size - 1) // 16 + 1
     key = jax.random.PRNGKey(7)
     kys = jax.random.randint(key, (batch, 3, 17, 1, 1), 2, r - 2)
@@ -83,25 +63,66 @@ def main():
     xx = jnp.arange(r)[None, None, None, None, :]
     g = jnp.exp(-((yy - kys) ** 2 + (xx - kxs) ** 2) / 4.0)   # (B,3,17,R,R)
     peaked_hm = jnp.transpose(jnp.max(0.9 * g, axis=1), (0, 2, 3, 1))
-    flat = jax.random.uniform(key, (batch, r, r, 98)) * 16 - 8
-    args = (peaked_hm, flat[..., :34], flat[..., 34:66], flat[..., 66:98])
+    flat_f = jax.random.uniform(key, (batch, r, r, 98)) * 16 - 8
+    peaked = (peaked_hm, flat_f[..., :34], flat_f[..., 34:66],
+              flat_f[..., 66:98])
+    jax.block_until_ready(peaked_hm)
 
-    dec = lambda: decode_batch(*args, 16, decode_cfg)
-    np.asarray(dec().pose_scores).ravel()[0]
-    t0 = time.perf_counter()
+    @functools.partial(jax.jit, static_argnames=('dcfg',))
+    def fused_peaked(params, frames_u8, peaked, dcfg):
+        """Forward on frames + decode on peaked heads in ONE program, with
+        the decode inputs barrier-tied to the forward outputs (serial
+        schedule, like the production fused path)."""
+        x = frames_u8.astype(cfg.compute_dtype) * (2.0 / 255.0) - 1.0
+        heads = mobilenet_v1.forward(params, x, cfg)
+        tied = jax.lax.optimization_barrier((heads['heatmap'], *peaked))
+        hm_fwd, p_hm, p_off, p_dfwd, p_dbwd = tied
+        out = decode_batch(p_hm, p_off, p_dfwd, p_dbwd, cfg.output_stride,
+                           dcfg)
+        return out, hm_fwd[0, 0, 0, 0]
+
+    def barrier(x):
+        # Force a host round-trip on a tiny output: the only reliable
+        # execution barrier on the tunneled axon platform, where
+        # block_until_ready can return before the computation finishes.
+        return np.asarray(x).ravel()[0]
+
+    # ---- headline: fused forward + peaked-content decode ----
+    barrier(fused_peaked(params, frames, peaked, decode_cfg)[0].pose_scores)
+    n_iters = 40
+    start = time.perf_counter()
     for _ in range(n_iters):
-        out = dec()
-    np.asarray(out.pose_scores).ravel()[0]
-    peaked_decode_ms = (time.perf_counter() - t0) / n_iters * 1000
+        out = fused_peaked(params, frames, peaked, decode_cfg)
+    barrier(out[0].pose_scores)
+    elapsed = time.perf_counter() - start
+    imgs_per_s = n_iters * batch / elapsed
+
+    # p50 per-batch latency (single dispatch + barrier; includes tunnel RTT).
+    lat = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        barrier(fused_peaked(params, frames, peaked, decode_cfg)[0].pose_scores)
+        lat.append((time.perf_counter() - t0) * 1000)
+    p50_ms = float(np.percentile(lat, 50))
+
+    # ---- extra: the old flat-content fused program (noise frames through
+    # random weights -> near-flat heads -> early-exit decode) ----
+    barrier(infer_jit(params, frames, cfg, decode_cfg).pose_scores)
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        out2 = infer_jit(params, frames, cfg, decode_cfg)
+    barrier(out2.pose_scores)
+    flat_imgs_per_s = n_iters * batch / (time.perf_counter() - start)
 
     baseline = 250.0  # reference README.md:12 midpoint (forward-only, GPU)
     print(json.dumps({
-        "metric": "img/s/chip 513x513 m101 s16 fused forward+decode (batch=128, bf16)",
+        "metric": "img/s/chip 513x513 m101 s16 fused forward+decode, "
+                  "peaked multi-person heads (batch=128, bf16)",
         "value": round(imgs_per_s, 1),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_s / baseline, 2),
         "extra": {"p50_batch_ms": round(p50_ms, 2), "batch": batch,
-                  "peaked_heads_decode_ms": round(peaked_decode_ms, 2)},
+                  "flat_content_img_per_s": round(flat_imgs_per_s, 1)},
     }))
 
 

@@ -9,8 +9,10 @@ Prints one JSON line per config (see BASELINE.md):
   5. train.py fine-tune step, data-parallel across 8 chips (or as many
      devices as exist; on a single-TPU host this runs DP over 1 device and
      the 8-way layout is validated by __graft_entry__.dryrun_multichip).
+  6. (extra, not in BASELINE) stride-8 1080p decode-only on the 136x241
+     grid through the bit-exact pallas kernel.
 
-Usage: python benchmark_suite.py [--configs 1,2,3,4,5] [--iters N]
+Usage: python benchmark_suite.py [--configs 1,2,3,4,5,6] [--iters N]
 """
 
 import argparse
@@ -84,6 +86,46 @@ def run_inference_config(name, model_id, output_stride, height, width, batch,
         "ms_per_batch": round(dt / iters * 1000, 2), "batch": batch}))
 
 
+def run_decode_1080p_config(iters):
+    """Config 6: bit-exact on-device decode at the stride-8 1080p grid
+    (1081x1921 input -> 136x241 score grid, 32.8k cells) — the regime that
+    previously fell back to the non-reference-exact XLA path. Decode-only
+    (synthesized peaked heads): the decode grid, not the conv forward, is
+    what this regime stresses (SURVEY.md §5 long-context analog)."""
+    import jax
+    import jax.numpy as jnp
+
+    from posenet_tpu.config import DecodeConfig
+    from posenet_tpu.decode import decode_batch
+
+    h, w, stride, batch = 136, 241, 8, 4
+    decode_cfg = DecodeConfig(min_pose_score=0.25, score_threshold=0.3)
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    # peaked multi-person-like heads: low base + scattered peaks
+    base = jax.random.uniform(k1, (batch, h, w, 17), jnp.float32, 0.0, 0.25)
+    peaks = (jax.random.uniform(k2, (batch, h, w, 17)) > 0.9995).astype(
+        jnp.float32) * 0.7
+    heatmap = jnp.minimum(base + peaks, 0.99)
+    offsets = jax.random.uniform(k3, (batch, h, w, 34), jnp.float32, -4., 4.)
+    disp = jax.random.uniform(k4, (batch, h, w, 64), jnp.float32, -40., 40.)
+    dfwd, dbwd = disp[..., :32], disp[..., 32:]
+    jax.block_until_ready(heatmap)
+
+    out = decode_batch(heatmap, offsets, dfwd, dbwd, stride, decode_cfg)
+    _barrier(out.pose_scores)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = decode_batch(heatmap, offsets, dfwd, dbwd, stride, decode_cfg)
+    _barrier(out.pose_scores)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "config": "6: s8 1080p decode (bit-exact kernel)",
+        "metric": "decode throughput", "grid": f"{h}x{w}", "batch": batch,
+        "ms_per_batch": round(dt / iters * 1000, 2),
+        "img_per_s": round(iters * batch / dt, 1)}))
+
+
 def run_train_config(iters):
     import jax
     import jax.numpy as jnp
@@ -154,6 +196,8 @@ def main():
                              1, args.iters, latency_mode=True)
     if 5 in configs:
         run_train_config(max(1, args.iters // 4))
+    if 6 in configs:
+        run_decode_1080p_config(args.iters)
 
 
 if __name__ == '__main__':

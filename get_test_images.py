@@ -52,6 +52,16 @@ def synthesize(image_dir: str, size=(720, 1280)):
         print('Synthesized %s' % f)
 
 
+def download_images(image_dir: str):
+    """Fetch all 24 canonical images into image_dir (reference
+    get_test_images.py:39-46)."""
+    os.makedirs(image_dir, exist_ok=True)
+    for f in TEST_IMAGES:
+        url = GOOGLE_CLOUD_IMAGE_BUCKET + f
+        print('Downloading %s' % f)
+        urllib.request.urlretrieve(url, os.path.join(image_dir, f))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--image_dir', type=str, default='./images')
@@ -62,10 +72,7 @@ def main():
     if args.synthesize:
         synthesize(args.image_dir)
         return
-    for f in TEST_IMAGES:
-        url = GOOGLE_CLOUD_IMAGE_BUCKET + f
-        print('Downloading %s' % f)
-        urllib.request.urlretrieve(url, os.path.join(args.image_dir, f))
+    download_images(args.image_dir)
 
 
 if __name__ == "__main__":

@@ -77,6 +77,10 @@ class DecodeConfig:
     # Tree-walk backend for batched decode: True = pallas one-hot MXU
     # kernel, False = pure-XLA gathers, None = auto (pallas on TPU).
     use_pallas: Optional[bool] = None
+    # (The greedy accept runs one sequential round per ACCEPTED pose —
+    # see decode._greedy_accept. A fixed-K lax.scan over candidates was
+    # measured NEGATIVE on v5e before that redesign: 28.12 ms vs the
+    # per-candidate while_loop's 27.03 ms fused, b128, 3 people/frame.)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -336,69 +336,87 @@ def _prepare_decode(heatmap, offsets, dfwd, dbwd, output_stride: int,
 
 def _greedy_accept(cand_scores, cand_kp, root_coords, all_scores, all_coords,
                    all_offsets, cfg: DecodeConfig) -> DecodedPoses:
-    """Stage 3: sequential greedy accept over ranked candidates with
-    fixed-size pose buffers (decode_multi.py:104-139 semantics)."""
+    """Stage 3: greedy accept over ranked candidates with fixed-size pose
+    buffers — reference semantics (decode_multi.py:104-139), but ONE
+    sequential round PER ACCEPTED POSE instead of one per candidate.
+
+    Correctness of the round reformulation: the reference's per-candidate
+    loop mutates state only when it ACCEPTS (skipped candidates leave the
+    accepted set unchanged, decode_multi.py:111-113,128-134), and a
+    candidate's eligibility is MONOTONE NON-INCREASING in the accepted
+    set — adding a pose can only turn root-NMS suppression on (more
+    distances in the `any`) and push the overlap-discounted instance score
+    down (the overlap mask only grows; scores are sigmoid outputs > 0).
+    Hence a candidate skipped at its turn stays ineligible forever, and
+    the reference's next accept is always the LOWEST-indexed candidate
+    eligible against the CURRENT accepted set. Each round therefore
+    evaluates all K candidates against the accepted set in one vectorized
+    (P, K, 17) distance block and accepts the first eligible — bit-for-bit
+    the reference's result, in <= max_pose_detections + 1 sequential
+    rounds. On TPU the while_loop's per-iteration overhead (~74 us —
+    cond sync + program launch) dominates the tiny per-candidate body, so
+    rounds-per-accept cuts the accept stage ~= (live candidates) / (P+1)
+    times: measured 4.06 ms -> ~0.9 ms per batch-128 at 3 people/frame.
+
+    Accepted poses self-suppress (their root keypoint is at distance 0
+    from their own stored keypoint), so no explicit "already accepted"
+    mask is needed.
+    """
     P = cfg.max_pose_detections
+    K = cfg.max_candidates
     r2 = jnp.float32(cfg.nms_radius ** 2)
     slot_ids = jnp.arange(P)
+    cand_ids = jnp.arange(K)
+    valid = cand_scores > -0.5                 # top-K sentinel is -1
 
-    def body(i, state):
-        pose_scores, kp_scores, kp_coords, pose_offsets, count = state
-        valid = cand_scores[i] > -0.5          # top-K sentinel is -1
-        can_add = count < P
+    def round_body(carry):
+        pose_scores, kp_scores, kp_coords, pose_offsets, count, _ = carry
         occupied = slot_ids < count            # (P,)
 
-        # Root NMS: skip if the root keypoint lands within nms_radius of the
-        # same keypoint of any accepted pose (decode_multi.py:111-113).
-        root_kp = cand_kp[i]
-        d2_root = jnp.sum(
-            (kp_coords[:, root_kp, :] - root_coords[i]) ** 2, axis=-1)  # (P,)
-        root_suppressed = jnp.any(occupied & (d2_root <= r2))
+        # Root NMS vs every accepted pose, all candidates at once
+        # (decode_multi.py:111-113): accepted poses' stored coords at each
+        # candidate's root keypoint.
+        root_kp_coords = jnp.take(kp_coords, cand_kp, axis=1)     # (P, K, 2)
+        d2_root = jnp.sum((root_kp_coords - root_coords[None]) ** 2,
+                          axis=-1)                                # (P, K)
+        root_sup = jnp.any(occupied[:, None] & (d2_root <= r2), axis=0)
 
-        # Instance score: mean over keypoints not overlapped (same keypoint
-        # index within nms_radius) by ANY accepted pose
-        # (decode_multi.py:14-24).
-        d2 = jnp.sum((kp_coords - all_coords[i][None]) ** 2, axis=-1)  # (P, 17)
-        overlapped = jnp.any(occupied[:, None] & (d2 <= r2), axis=0)   # (17,)
-        inst_score = jnp.sum(
-            jnp.where(overlapped, 0.0, all_scores[i])) / NUM_KEYPOINTS
+        # Overlap-discounted instance scores vs accepted poses
+        # (decode_multi.py:14-24), all candidates at once.
+        d2 = jnp.sum((kp_coords[:, None] - all_coords[None]) ** 2,
+                     axis=-1)                                     # (P, K, 17)
+        overlapped = jnp.any(occupied[:, None, None] & (d2 <= r2),
+                             axis=0)                              # (K, 17)
+        inst = jnp.sum(jnp.where(overlapped, 0.0, all_scores),
+                       axis=-1) / NUM_KEYPOINTS                   # (K,)
 
-        score_ok = (cfg.min_pose_score == 0.0) | (inst_score >= cfg.min_pose_score)
-        accept = valid & can_add & (~root_suppressed) & score_ok
+        score_ok = (cfg.min_pose_score == 0.0) | (inst >= cfg.min_pose_score)
+        eligible = valid & (~root_sup) & score_ok
+        accept = jnp.any(eligible) & (count < P)
+        first = jnp.argmin(jnp.where(eligible, cand_ids, K))  # lowest index
 
         idx = jnp.where(accept, count, P)  # P = out-of-range, write dropped
         pose_scores = pose_scores.at[idx].set(
-            jnp.where(accept, inst_score, 0.0), mode='drop')
-        kp_scores = kp_scores.at[idx].set(all_scores[i], mode='drop')
-        kp_coords = kp_coords.at[idx].set(all_coords[i], mode='drop')
-        pose_offsets = pose_offsets.at[idx].set(all_offsets[i], mode='drop')
+            jnp.where(accept, inst[first], 0.0), mode='drop')
+        kp_scores = kp_scores.at[idx].set(all_scores[first], mode='drop')
+        kp_coords = kp_coords.at[idx].set(all_coords[first], mode='drop')
+        pose_offsets = pose_offsets.at[idx].set(all_offsets[first],
+                                                mode='drop')
         count = count + accept.astype(jnp.int32)
-        return pose_scores, kp_scores, kp_coords, pose_offsets, count
+        return pose_scores, kp_scores, kp_coords, pose_offsets, count, accept
 
     init = (jnp.zeros((P,), jnp.float32),
             jnp.zeros((P, NUM_KEYPOINTS), jnp.float32),
             jnp.zeros((P, NUM_KEYPOINTS, 2), jnp.float32),
             jnp.zeros((P, NUM_KEYPOINTS, 2), jnp.float32),
-            jnp.int32(0))
+            jnp.int32(0), jnp.bool_(True))
 
-    # Early-exit while_loop: candidates are score-sorted with a -1 sentinel,
-    # so the first sentinel ends the stream, and a full pose buffer ends the
-    # scan (the reference `break`s the same way, decode_multi.py:138-139).
-    # Real frames yield far fewer than max_candidates live candidates, so
-    # this trims the sequential tail to the actual work.
     def cond(carry):
-        i, state = carry
-        count = state[4]
-        in_range = i < cfg.max_candidates
-        live = cand_scores[jnp.minimum(i, cfg.max_candidates - 1)] > -0.5
-        return in_range & live & (count < P)
+        count, accepted_last = carry[4], carry[5]
+        return accepted_last & (count < P)
 
-    def wbody(carry):
-        i, state = carry
-        return i + 1, body(i, state)
-
-    _, (pose_scores, kp_scores, kp_coords, pose_offsets, _) = lax.while_loop(
-        cond, wbody, (jnp.int32(0), init))
+    pose_scores, kp_scores, kp_coords, pose_offsets, _, _ = lax.while_loop(
+        cond, round_body, init)
     return DecodedPoses(pose_scores, kp_scores, kp_coords, pose_offsets)
 
 
@@ -420,21 +438,23 @@ def decode_batch(heatmap, offsets, dfwd, dbwd, output_stride: int,
     Parity caveat: golden tests pin BOTH paths on CPU and the pallas
     kernel on TPU; the XLA path ON TPU is NOT reference-exact
     (--xla_allow_excess_precision FMA-contracts `cell*stride + offset`
-    and ~0.7% of keypoints flip a knife-edge cell) — grids too large for
-    the kernel's VMEM budget take that path.
+    and ~0.7% of keypoints flip a knife-edge cell) — only grids too large
+    for the kernel's VMEM ceiling (>~48k cells, beyond stride-8 1080p)
+    take that path.
     """
     h, w = heatmap.shape[1], heatmap.shape[2]
     use_pallas = cfg.use_pallas
     if use_pallas is None:
-        # The v2 row-gather kernel holds per-target split tables
-        # (H*W*690 B/image, double-buffered) in VMEM; grids up to ~17k
-        # cells fit — including stride-8 720p (91x161), which v1's
-        # (K, H*W) one-hot design could not. Larger grids (e.g. stride-8
-        # 1080p) fall back to the XLA gather path.
-        from posenet_tpu.ops.pallas.traversal import (_TABLE_BYTES_PER_CELL,
-                                                      _VMEM_TABLE_BUDGET)
+        # The v2/v3 row-gather kernels hold per-target split tables
+        # (H*W*690 B/image, double-buffered) in VMEM. Grids up to the
+        # measured 68 MB group=1 ceiling run in-kernel — stride-8 1080p
+        # (136x241 = 32.8k cells, 45 MB) included. Only larger grids
+        # (e.g. stride-8 4K) fall back to the XLA gather path.
+        from posenet_tpu.ops.pallas.traversal import (
+            _TABLE_BYTES_PER_CELL, _VMEM_TABLE_BUDGET_LARGE)
         use_pallas = (jax.default_backend() == 'tpu'
-                      and 2 * h * w * _TABLE_BYTES_PER_CELL <= _VMEM_TABLE_BUDGET)
+                      and 2 * h * w * _TABLE_BYTES_PER_CELL
+                      <= _VMEM_TABLE_BUDGET_LARGE)
     if not use_pallas:
         return jax.vmap(
             lambda h, o, f, b: decode_single(h, o, f, b, output_stride, cfg)

@@ -94,8 +94,17 @@ _TABLE_BYTES_PER_CELL = (NUM_KEYPOINTS * 9 + 2 * NUM_EDGES * 6) * 2
 # (17*9W), so its footprint is ~1.4x larger — bill it honestly in the
 # group sweep or the 24 MB budget invariant is silently exceeded.
 _TABLE_BYTES_PER_CELL_V4 = (2 * NUM_EDGES * 9 + 2 * NUM_EDGES * 6) * 2
-# Pipeline double-buffers input blocks; keep 2*group*tables under this.
+# Pipeline double-buffers input blocks; the GROUP SWEEP keeps
+# 2*group*tables under this conservative cap so small/medium grids keep
+# their measured-good group configs.
 _VMEM_TABLE_BUDGET = 24 * 1024 * 1024
+# Large-grid ceiling at group=1: v3 runs with vmem_limit_bytes=100 MB, and
+# grids up to 48k cells (2x33.1 MB double-buffered tables + fetch
+# intermediates) measured bit-exact on v5e HW (160x300 probe, 2026-08-17);
+# stride-8 1080p (136x241 = 32.8k cells, 2x22.6 MB) sits well inside.
+# Grids beyond this fall back to the XLA traversal (non-bit-exact on TPU,
+# see PARITY.md).
+_VMEM_TABLE_BUDGET_LARGE = 68 * 1024 * 1024
 
 
 def _hop_metadata():
