@@ -316,3 +316,88 @@ def test_sepconv_pallas_matches_xla():
     # path), so allow bf16-level slack
     assert np.abs(ours - ref).max() < 0.05
     assert np.abs(ours - ref).mean() < 0.002
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("params", [
+    dict(max_pose_detections=10, nms_radius=20, min_pose_score=0.25),
+    dict(max_pose_detections=3, nms_radius=20, min_pose_score=0.25),
+    dict(max_pose_detections=10, nms_radius=5, min_pose_score=0.0),
+    dict(max_pose_detections=10, nms_radius=60, min_pose_score=0.5),
+])
+def test_greedy_accept_rounds_equal_per_candidate_loop(seed, params):
+    """The rounds-per-accepted-pose accept (decode._greedy_accept) must be
+    bit-identical to the reference's per-candidate sequential loop
+    (decode_multi.py:104-139) on arbitrary candidate sets — including
+    crowded scenes where candidates greatly outnumber pose slots, zero
+    min_pose_score (always-accept gating), and radii that suppress
+    most roots. The per-candidate loop is replicated directly in numpy
+    here, so this pins the round reformulation's monotonicity argument
+    independent of the traversal stage."""
+    from posenet_tpu.decode import _greedy_accept
+
+    rng = np.random.RandomState(seed)
+    K = 64
+    n_live = rng.randint(0, K + 1)
+    cand_scores = np.full((K,), -1.0, np.float32)
+    cand_scores[:n_live] = np.sort(
+        rng.uniform(0.3, 1.0, n_live).astype(np.float32))[::-1]
+    cand_kp = rng.randint(0, NUM_KEYPOINTS, K).astype(np.int32)
+    # cluster roots so NMS suppression actually triggers
+    root_coords = rng.uniform(0, 120, (K, 2)).astype(np.float32)
+    all_coords = (root_coords[:, None, :]
+                  + rng.uniform(-40, 40, (K, 17, 2))).astype(np.float32)
+    # stored root coordinate == traversed coordinate at the root keypoint
+    # (decode seeds the root row; self-suppression relies on it)
+    all_coords[np.arange(K), cand_kp] = root_coords
+    all_scores = rng.uniform(0, 1, (K, 17)).astype(np.float32)
+    all_offsets = rng.uniform(-8, 8, (K, 17, 2)).astype(np.float32)
+
+    cfg = DecodeConfig(score_threshold=0.3, max_candidates=K, **params)
+
+    # ---- numpy replica of the reference per-candidate loop ----
+    P = cfg.max_pose_detections
+    r2 = np.float32(cfg.nms_radius ** 2)
+    acc_scores, acc_kps, acc_kc, acc_off = [], [], [], []
+    for i in range(K):
+        if cand_scores[i] <= -0.5:
+            break
+        if len(acc_scores) >= P:
+            break
+        suppressed = any(
+            np.sum((kc[cand_kp[i]] - root_coords[i]) ** 2) <= r2
+            for kc in acc_kc)
+        if suppressed:
+            continue
+        overlapped = np.zeros(17, bool)
+        for kc in acc_kc:
+            overlapped |= np.sum((kc - all_coords[i]) ** 2, -1) <= r2
+        inst = float(np.where(overlapped, 0.0, all_scores[i]).sum()) / 17
+        if cfg.min_pose_score != 0.0 and inst < cfg.min_pose_score:
+            continue
+        acc_scores.append(inst)
+        acc_kps.append(all_scores[i])
+        acc_kc.append(all_coords[i])
+        acc_off.append(all_offsets[i])
+
+    out = _greedy_accept(jnp.asarray(cand_scores), jnp.asarray(cand_kp),
+                         jnp.asarray(root_coords), jnp.asarray(all_scores),
+                         jnp.asarray(all_coords), jnp.asarray(all_offsets),
+                         cfg)
+    n = len(acc_scores)
+    got_scores = np.asarray(out.pose_scores)
+    assert int((got_scores > 0).sum()) == n
+    # instance scores are 17-element sums: XLA's tree reduction vs numpy's
+    # sequential sum differ in the last ulp — everything else is copied
+    # values and must be bit-equal
+    np.testing.assert_allclose(
+        got_scores[:n], np.asarray(acc_scores, np.float32), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.keypoint_scores)[:n],
+                                  np.stack(acc_kps) if n else
+                                  np.zeros((0, 17), np.float32))
+    np.testing.assert_array_equal(np.asarray(out.keypoint_coords)[:n],
+                                  np.stack(acc_kc) if n else
+                                  np.zeros((0, 17, 2), np.float32))
+    np.testing.assert_array_equal(np.asarray(out.pose_offsets)[:n],
+                                  np.stack(acc_off) if n else
+                                  np.zeros((0, 17, 2), np.float32))
