@@ -81,6 +81,13 @@ class DecodeConfig:
     # see decode._greedy_accept. A fixed-K lax.scan over candidates was
     # measured NEGATIVE on v5e before that redesign: 28.12 ms vs the
     # per-candidate while_loop's 27.03 ms fused, b128, 3 people/frame.)
+    # Exact per-plane-then-merge top-k (ops.nms.top_k_candidates_two_stage)
+    # instead of one global sort. Bit-identical ordering (tie proof in its
+    # docstring). Measured NEGATIVE in the round-2 fused schedule (old
+    # per-candidate accept loop) but POSITIVE after the rounds-per-pose
+    # accept redesign: fused peaked b128 23.29 -> 22.96 ms on v5e. Default
+    # ON; the flag remains for A/B measurement.
+    two_stage_topk: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -45,7 +45,8 @@ from jax import lax
 
 from posenet_tpu.config import DecodeConfig
 from posenet_tpu.constants import EDGES, LOCAL_MAXIMUM_RADIUS, NUM_EDGES, NUM_KEYPOINTS
-from posenet_tpu.ops.nms import local_max_mask, top_k_candidates
+from posenet_tpu.ops.nms import (local_max_mask, top_k_candidates,
+                                 top_k_candidates_two_stage)
 
 
 def _tree_levels():
@@ -320,7 +321,9 @@ def _prepare_decode(heatmap, offsets, dfwd, dbwd, output_stride: int,
 
     # Part selection: local-max NMS + global descending top-K.
     mask = local_max_mask(heatmap, cfg.score_threshold, LOCAL_MAXIMUM_RADIUS)
-    cand_scores, cand_kp, cand_y, cand_x = top_k_candidates(
+    select = (top_k_candidates_two_stage if cfg.two_stage_topk
+              else top_k_candidates)
+    cand_scores, cand_kp, cand_y, cand_x = select(
         heatmap, mask, cfg.max_candidates)
 
     # Root image coords: cell*stride + offset at the root cell

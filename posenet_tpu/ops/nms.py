@@ -63,3 +63,40 @@ def top_k_candidates(scores: jax.Array, mask: jax.Array,
     ys = rem // w
     xs = rem % w
     return top_scores, kp, ys, xs
+
+
+def top_k_candidates_two_stage(scores: jax.Array, mask: jax.Array,
+                               k: int) -> Tuple[jax.Array, jax.Array,
+                                                jax.Array, jax.Array]:
+    """Exact two-stage variant of `top_k_candidates`: per-keypoint-plane
+    top-k over H*W, then a merge top-k over the 17*k' survivors.
+
+    Tie-order exactness vs the flat global sort: lax.top_k breaks ties
+    first-position-first. The merged candidate array is plane-major (all
+    plane-p survivors before plane-q>p, matching the keypoint-major flat
+    order), and within a plane equal values come out of the per-plane
+    top-k already in ascending-cell order — so every tie group appears in
+    the merged array in exactly its flat-index order, and the merge top-k
+    reproduces the global sort bit-for-bit. (A plane's k'-th value can
+    only be displaced if k' >= k global winners exist in that plane, which
+    per-plane k' = min(k, H*W) rules out.)
+
+    Rationale: two sorts over 17x(H*W -> k') + (17k' -> k) beat one sort
+    over 17*H*W when H*W >> k. Measured NEGATIVE in the round-2 fused
+    program (interaction with the old per-candidate accept loop's
+    schedule) but POSITIVE after the rounds-per-pose accept redesign
+    (fused peaked b128: 23.29 -> 22.96 ms on v5e) — now the default
+    (DecodeConfig.two_stage_topk=True).
+    """
+    h, w, n_kp = scores.shape
+    kp_plane = min(k, h * w)
+    flat = jnp.where(mask, scores, -1.0).transpose(2, 0, 1).reshape(n_kp, -1)
+    plane_scores, plane_idx = lax.top_k(flat, kp_plane)      # (17, k')
+    merged = plane_scores.reshape(-1)                        # (17*k',)
+    top_scores, merged_idx = lax.top_k(merged, k)
+    kp = merged_idx // kp_plane
+    cell = jnp.take_along_axis(
+        plane_idx.reshape(-1)[None], merged_idx[None], axis=1)[0]
+    ys = cell // w
+    xs = cell % w
+    return top_scores, kp, ys, xs

@@ -28,7 +28,13 @@ def _import_reference():
     if "mod" in _ref_cache:
         return _ref_cache["mod"]
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # APPEND, never insert(0): the reference repo has top-level modules
+        # whose names collide with ours (visualizers, get_test_images,
+        # image_demo, ...). At the path head it would shadow the repo-root
+        # versions for every later test in the same pytest process (only
+        # `posenet` itself is unique to the reference, so appending still
+        # resolves it).
+        sys.path.append(REFERENCE_ROOT)
     import posenet as ref_posenet  # noqa: F401
     from posenet import decode_multi as ref_decode_multi
     from posenet.models import mobilenet_v1 as ref_mobilenet

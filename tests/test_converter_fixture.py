@@ -48,7 +48,8 @@ def fixture_env(tmp_path_factory):
 def _reference_params(base_dir):
     """Run the REFERENCE torch converter over the fixture bytes."""
     if reference_oracle.REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, reference_oracle.REFERENCE_ROOT)
+        # append, never insert(0) — see reference_oracle._import_reference
+        sys.path.append(reference_oracle.REFERENCE_ROOT)
     from posenet.converter import tfjs2pytorch as ref_conv
     from posenet.models import mobilenet_v1 as ref_mobilenet
 

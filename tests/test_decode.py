@@ -401,3 +401,24 @@ def test_greedy_accept_rounds_equal_per_candidate_loop(seed, params):
     np.testing.assert_array_equal(np.asarray(out.pose_offsets)[:n],
                                   np.stack(acc_off) if n else
                                   np.zeros((0, 17, 2), np.float32))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_two_stage_topk_bit_equal(seed):
+    """top_k_candidates_two_stage must reproduce the flat global top-k
+    BIT-FOR-BIT, including tie ordering — exercised with heavy duplicate
+    scores within and across keypoint planes."""
+    from posenet_tpu.ops.nms import top_k_candidates_two_stage
+
+    rng = np.random.RandomState(seed)
+    h = w = 33
+    # quantize scores coarsely so ties are everywhere
+    scores = np.round(rng.uniform(0.4, 1.0, (h, w, 17)) * 8) / 8
+    scores = jnp.asarray(scores.astype(np.float32))
+    mask = local_max_mask(scores, 0.5, LOCAL_MAXIMUM_RADIUS)
+    for k in (16, 64, 128):
+        a = top_k_candidates(scores, mask, k)
+        b = top_k_candidates_two_stage(scores, mask, k)
+        for x, y, name in zip(a, b, ("scores", "kp", "ys", "xs")):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=f"k={k} {name}")
