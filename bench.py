@@ -75,11 +75,21 @@ def main():
         schedule, like the production fused path)."""
         x = frames_u8.astype(cfg.compute_dtype) * (2.0 / 255.0) - 1.0
         heads = mobilenet_v1.forward(params, x, cfg)
-        tied = jax.lax.optimization_barrier((heads['heatmap'], *peaked))
-        hm_fwd, p_hm, p_off, p_dfwd, p_dbwd = tied
+        # ALL four head outputs go through the barrier: consuming only the
+        # heatmap would let XLA narrow/DCE the offset+displacement channels
+        # of the fused head conv, making the measured forward cheaper than
+        # the production path.
+        tied = jax.lax.optimization_barrier(
+            (heads['heatmap'], heads['offset'], heads['displacement_fwd'],
+             heads['displacement_bwd'], *peaked))
+        hm, off, dfwd, dbwd = tied[:4]
+        p_hm, p_off, p_dfwd, p_dbwd = tied[4:]
         out = decode_batch(p_hm, p_off, p_dfwd, p_dbwd, cfg.output_stride,
                            dcfg)
-        return out, hm_fwd[0, 0, 0, 0]
+        fwd_probe = (hm[0, 0, 0, 0].astype(jnp.float32)
+                     + off[0, 0, 0, 0] + dfwd[0, 0, 0, 0]
+                     + dbwd[0, 0, 0, 0])
+        return out, fwd_probe
 
     def barrier(x):
         # Force a host round-trip on a tiny output: the only reliable

@@ -95,8 +95,7 @@ def top_k_candidates_two_stage(scores: jax.Array, mask: jax.Array,
     merged = plane_scores.reshape(-1)                        # (17*k',)
     top_scores, merged_idx = lax.top_k(merged, k)
     kp = merged_idx // kp_plane
-    cell = jnp.take_along_axis(
-        plane_idx.reshape(-1)[None], merged_idx[None], axis=1)[0]
+    cell = plane_idx.reshape(-1)[merged_idx]
     ys = cell // w
     xs = cell % w
     return top_scores, kp, ys, xs

@@ -44,13 +44,21 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
-    except (ValueError, RuntimeError):
+    except (ValueError, RuntimeError) as e:
+        # jax < 0.4.26 has no is_initialized(); a repeat call on an
+        # already-initialized runtime lands here instead of the guard
+        # above. Honor the idempotence contract (and return the REAL
+        # process index, not 0) rather than re-raising or misreporting.
+        if 'already' in str(e).lower() or 'once' in str(e).lower():
+            return jax.process_index()
         # Explicitly-requested multi-process setup must not be swallowed.
         if coordinator_address is not None or num_processes not in (None, 1):
             raise
         # Single-process run with no coordinator configured (no pod env
         # to auto-detect, or the backend was already up): stay local.
-        return 0
+        # process_index() is safe to call here — we return immediately,
+        # so initializing the backend no longer matters.
+        return jax.process_index()
     return jax.process_index()
 
 

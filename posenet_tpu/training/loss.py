@@ -34,6 +34,7 @@ from jax import lax
 
 from posenet_tpu.constants import NUM_KEYPOINTS
 from posenet_tpu.decode import split_yx
+from posenet_tpu.training.ground_truth import GAUSSIAN_KERNEL_SIZE
 
 # Sentinel for missing keypoints: GT loaders pad with -1 (reference
 # ground_truth_dataloop.py:371-379) and unannotated points are (0, 0).
@@ -74,7 +75,7 @@ def binary_disk_targets(keypoints: jax.Array, height: int, width: int,
 def offset_targets_and_mask(keypoints: jax.Array, height: int, width: int,
                             output_stride: int,
                             radius: int = _DISK_RADIUS,
-                            kernel_size: int = 11
+                            kernel_size: int = GAUSSIAN_KERNEL_SIZE
                             ) -> Tuple[jax.Array, jax.Array]:
     """Build GT offset maps + regression mask.
 
@@ -138,7 +139,7 @@ def heatmap_offset_loss(heatmap_logits: jax.Array, pred_offsets: jax.Array,
                         keypoints: jax.Array, output_stride: int,
                         heatmap_weight: float = 4.0,
                         offset_weight: float = 1.0,
-                        gaussian_kernel_size: int = 11
+                        gaussian_kernel_size: int = GAUSSIAN_KERNEL_SIZE
                         ) -> Dict[str, jax.Array]:
     """Single-item loss.
 
@@ -183,7 +184,7 @@ def heatmap_offset_loss(heatmap_logits: jax.Array, pred_offsets: jax.Array,
 
 def batched_loss(heatmap_logits, pred_offsets, keypoints, output_stride: int,
                  heatmap_weight: float = 4.0, offset_weight: float = 1.0,
-                 gaussian_kernel_size: int = 11):
+                 gaussian_kernel_size: int = GAUSSIAN_KERNEL_SIZE):
     """vmap over the batch axis, mean-reduced."""
     per_item = jax.vmap(
         lambda hl, po, kp: heatmap_offset_loss(
