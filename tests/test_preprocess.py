@@ -214,3 +214,28 @@ def test_initialize_distributed_single_process():
     with _pytest.raises((ValueError, RuntimeError)):
         initialize_distributed(coordinator_address='127.0.0.1:9999',
                                num_processes=2, process_id=0)
+
+
+def test_initialize_distributed_already_initialized_old_jax(monkeypatch):
+    """jax < 0.4.26 has no jax.distributed.is_initialized(); a repeat call
+    on an already-initialized runtime surfaces as a RuntimeError from
+    initialize(). The guard must honor the idempotence contract there —
+    return the real process index, never re-raise and never report 0
+    unconditionally — even when coordinator args are explicit."""
+    import jax
+
+    from posenet_tpu.parallel import mesh as mesh_mod
+
+    class _OldDistributed:
+        # No is_initialized attribute at all, like old jax.
+        @staticmethod
+        def initialize(**kwargs):
+            raise RuntimeError(
+                'jax.distributed.initialize should only be called once.')
+
+    monkeypatch.setattr(mesh_mod.jax, 'distributed', _OldDistributed())
+    assert mesh_mod.initialize_distributed() == jax.process_index()
+    # Explicit args on an already-initialized runtime: still idempotent.
+    assert mesh_mod.initialize_distributed(
+        coordinator_address='127.0.0.1:9999', num_processes=2,
+        process_id=0) == jax.process_index()

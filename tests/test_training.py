@@ -56,6 +56,23 @@ def test_offset_targets_point_to_keypoint():
     assert mask[0, 2].sum() == 0              # invalid keypoint -> no mask
 
 
+def test_loss_kernel_size_defaults_track_ground_truth():
+    """The Gaussian kernel size parameterizes BOTH the GT heatmap sigma and
+    the closed-form offset-loss mask; the loss-side defaults must be the
+    single source of truth from ground_truth, not duplicated literals —
+    otherwise changing GAUSSIAN_KERNEL_SIZE silently trains the offset mask
+    against a different disk radius than the dataset's heatmaps."""
+    import inspect
+
+    from posenet_tpu.training import ground_truth, loss
+
+    for fn, param in [(loss.offset_targets_and_mask, 'kernel_size'),
+                      (loss.heatmap_offset_loss, 'gaussian_kernel_size'),
+                      (loss.batched_loss, 'gaussian_kernel_size')]:
+        default = inspect.signature(fn).parameters[param].default
+        assert default == ground_truth.GAUSSIAN_KERNEL_SIZE, fn.__name__
+
+
 @pytest.mark.parametrize('kernel_size', [7, 11, 15])
 def test_offset_mask_matches_materialized_reference(kernel_size):
     """The closed-form mask must equal the reference pipeline materialized:
