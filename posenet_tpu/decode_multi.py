@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from posenet_tpu.config import DecodeConfig
-from posenet_tpu.decode import DecodedPoses, decode_batch, decode_single_jit
+from posenet_tpu.decode import DecodedPoses, decode_batch
 
 
 def _to_hwc(t) -> jnp.ndarray:
@@ -53,13 +53,20 @@ def decode_multiple_poses(
         min_pose_score=min_pose_score,
         max_candidates=max_candidates,
     )
-    result = decode_single_jit(
-        _to_hwc(scores), _to_hwc(offsets), _to_hwc(displacements_fwd),
-        _to_hwc(displacements_bwd), int(output_stride), cfg)
-    return (np.asarray(result.pose_scores),
-            np.asarray(result.keypoint_scores),
-            np.asarray(result.keypoint_coords, dtype=np.float64),
-            np.asarray(result.pose_offsets, dtype=np.float64))
+    # Route through decode_batch (leading batch axis of 1) rather than the
+    # single-image XLA path: on TPU decode_batch auto-selects the pallas
+    # traversal kernel, which is bit-exact to the reference, whereas the
+    # XLA traversal ON TPU FMA-contracts `cell*stride + offset` and can
+    # flip ~0.7% of keypoints across a cell boundary (PARITY.md). On CPU
+    # both routes are identical.
+    result = decode_batch(
+        _to_hwc(scores)[None], _to_hwc(offsets)[None],
+        _to_hwc(displacements_fwd)[None], _to_hwc(displacements_bwd)[None],
+        int(output_stride), cfg)
+    return (np.asarray(result.pose_scores[0]),
+            np.asarray(result.keypoint_scores[0]),
+            np.asarray(result.keypoint_coords[0], dtype=np.float64),
+            np.asarray(result.pose_offsets[0], dtype=np.float64))
 
 
 def decode_multiple_poses_batch(scores, offsets, displacements_fwd,
