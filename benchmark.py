@@ -85,8 +85,13 @@ def main():
         from posenet_tpu import native_preprocess as npp
         from posenet_tpu.preprocess import valid_resolution
 
-        raw = [cv2.imread(filenames[i % len(filenames)])
-               for i in range(args.batch_size)]
+        raw = []
+        for i in range(args.batch_size):
+            path = filenames[i % len(filenames)]
+            img = cv2.imread(path)
+            if img is None:
+                raise IOError(f'could not read image: {path}')
+            raw.append(img)
         tw, th = valid_resolution(args.image_size, args.image_size,
                                   output_stride)
         frames = npp.resize_batch(raw, (th, tw), swap_rb=True)
@@ -120,6 +125,13 @@ def main():
         input_image = images[filenames[i % len(filenames)]]
         with timer.stage('forward'):
             heatmaps, offsets, displacement_fwd, displacement_bwd = model(input_image)
+            if args.profile:
+                # JAX dispatch is async: without a sync the 'forward' stage
+                # would time only the dispatch and 'decode' would absorb all
+                # forward device time. A 1-element host fetch is the only
+                # reliable barrier on tunneled platforms (CLAUDE.md). Only
+                # under --profile — it would serialize the throughput loop.
+                np.asarray(heatmaps[(0,) * heatmaps.ndim])  # 4-byte fetch
         with timer.stage('decode'):
             output = posenet.decode_multiple_poses(
                 heatmaps.squeeze(0), offsets.squeeze(0),

@@ -162,7 +162,14 @@ def _flatten(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
 
 
 def save_params_npz(path: str, params: Dict[str, Any]) -> None:
-    np.savez(path, **_flatten(params))
+    # Write-temp-then-rename: load_model gates re-conversion on
+    # os.path.exists(path), so a truncated .npz from an interrupted save
+    # would be trusted forever (same poisoned-cache class download.py
+    # avoids by writing manifest.json last).
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        np.savez(f, **_flatten(params))
+    os.replace(tmp, path)
 
 
 def load_params_npz(path: str) -> Dict[str, Any]:

@@ -82,9 +82,11 @@ def load_model(model_id: int = 101, output_stride: int = 16,
         try:
             print(f'Cannot find checkpoint {path}, converting from tfjs...')
             tfjs2jax.convert(model_id, model_dir)
-        except urllib.error.URLError as e:
-            # Only NETWORK failures may fall back to random init; any other
-            # OSError (half-populated shard cache, disk full, permissions)
+        except (urllib.error.URLError, TimeoutError) as e:
+            # Only NETWORK failures (DNS/conn errors, or a socket stall
+            # raising TimeoutError mid-read — download.py's documented
+            # contract) may fall back to random init; any other OSError
+            # (half-populated shard cache, disk full, permissions)
             # must surface — silently benchmarking random weights with a
             # "Download failed" message would be far worse than crashing.
             if allow_random_init:

@@ -151,18 +151,39 @@ def _parse_xplane(path: str, top: int) -> str:
                     metadata[mid] = mname
         if "TPU" not in plane_name and "Device" not in plane_name:
             continue
+        # Device planes carry several XLines ("XLA Ops", "XLA Modules",
+        # "Steps", ...). A module event's duration already equals the sum
+        # of its ops' durations, so summing across ALL lines would roughly
+        # double-count device time. Prefer the per-op line; fall back to
+        # every line only when no line is named at all (older traces).
+        parsed = []                     # (line_name, [event bytes])
         for line in lines:
+            lname, events = "", []
             for ltag, lval in fields(line):
-                if ltag == 4 and isinstance(lval, bytes):   # XEvent
-                    mid = dur = 0
-                    for etag, ev in fields(lval):
-                        if etag == 1:
-                            mid = ev
-                        elif etag == 3:
-                            dur = ev
-                    name = metadata.get(mid, f"id{mid}")
-                    op_time_ps[name] += dur
-                    op_count[name] += 1
+                if ltag == 2 and isinstance(lval, bytes):   # XLine.name
+                    lname = lval.decode("utf-8", "replace")
+                elif ltag == 4 and isinstance(lval, bytes):  # XEvent
+                    events.append(lval)
+            parsed.append((lname, events))
+        op_lines = [ev for lname, ev in parsed if lname == "XLA Ops"]
+        if op_lines:
+            use = op_lines
+        elif any(lname for lname, _ in parsed):
+            use = [ev for lname, ev in parsed
+                   if lname not in ("XLA Modules", "Steps")]
+        else:
+            use = [ev for _, ev in parsed]
+        for events in use:
+            for lval in events:
+                mid = dur = 0
+                for etag, ev in fields(lval):
+                    if etag == 1:
+                        mid = ev
+                    elif etag == 3:
+                        dur = ev
+                name = metadata.get(mid, f"id{mid}")
+                op_time_ps[name] += dur
+                op_count[name] += 1
 
     if not op_time_ps:
         return "trace parsed but no device events found"

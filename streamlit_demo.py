@@ -67,16 +67,22 @@ def main():
 
     @st.cache_resource
     def get_model(model_id, output_stride):
-        import urllib.error
-        try:
-            return posenet.load_model(model_id, output_stride=output_stride), True
-        except urllib.error.URLError:
-            # no network egress: keep the UI usable but SAY so — silently
-            # serving random weights would look like a broken detector
-            return posenet.load_model(model_id, output_stride=output_stride,
-                                      allow_random_init=True), False
+        # Only SUCCESSFUL loads are cached: raising on failure keeps
+        # cache_resource from pinning a random-weights fallback for the
+        # app's lifetime — once the checkpoint becomes available a rerun
+        # picks it up without restarting the process.
+        return posenet.load_model(model_id, output_stride=output_stride)
 
-    model, real_weights = get_model(model_id, output_stride)
+    import urllib.error
+    try:
+        model, real_weights = get_model(model_id, output_stride), True
+    except (urllib.error.URLError, TimeoutError):
+        # no network egress: keep the UI usable but SAY so — silently
+        # serving random weights would look like a broken detector.
+        # Deliberately uncached (re-checked each rerun).
+        model, real_weights = posenet.load_model(
+            model_id, output_stride=output_stride,
+            allow_random_init=True), False
     if not real_weights:
         st.warning("Checkpoint download failed (no network) — running with "
                    "RANDOM weights; detections are meaningless.")
@@ -106,7 +112,8 @@ def main():
             out_path = os.path.join(output_dir, "output.mp4")
             writer = None
             progress = st.progress(0.0)
-            n_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) or 1
+            # some containers report 0 or -1 for an unknown frame count
+            n_frames = max(int(cap.get(cv2.CAP_PROP_FRAME_COUNT)), 1)
             i = 0
             t0 = time.time()
             while True:
@@ -125,6 +132,7 @@ def main():
                 i += 1
                 progress.progress(min(i / n_frames, 1.0))
             cap.release()
+            os.unlink(tfile.name)  # don't leak one /tmp copy per upload
             if writer is not None:
                 writer.release()
                 st.write(f"{i} frames in {time.time()-t0:.1f}s")
