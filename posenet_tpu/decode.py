@@ -116,10 +116,12 @@ def _traverse(coord, sov_table, disp_table, edge_id, target_kp, stride, h, w):
     per step and ~46 ms/batch128.)"""
     hw_max = jnp.array([h - 1, w - 1], jnp.float32)
     src_idx = jnp.clip(jnp.round(coord / stride), 0.0, hw_max).astype(jnp.int32)
-    drow = disp_table[src_idx[0] * w + src_idx[1]]              # (32,)
+    # barrier-pinned gather indices — see _traverse_all_candidates.run_level
+    # for the excess-precision fused-gather hazard this prevents.
+    drow = disp_table[lax.optimization_barrier(src_idx[0] * w + src_idx[1])]
     displaced = coord + jnp.stack([drow[edge_id], drow[NUM_EDGES + edge_id]])
     tgt_idx = jnp.clip(jnp.round(displaced / stride), 0.0, hw_max).astype(jnp.int32)
-    trow = sov_table[tgt_idx[0] * w + tgt_idx[1]]               # (51,)
+    trow = sov_table[lax.optimization_barrier(tgt_idx[0] * w + tgt_idx[1])]
     score = trow[target_kp]
     offset = jnp.stack([trow[NUM_KEYPOINTS + target_kp],
                         trow[2 * NUM_KEYPOINTS + target_kp]])
@@ -235,7 +237,21 @@ def _traverse_all_candidates(cand_scores, cand_kp, root_coords, sov_table,
         src_ix = jnp.concatenate(
             [jnp.clip(jnp.round(coords_x[s] / stride), 0.0, w - 1.0)
              for _, s, _ in level])
-        src_cells = (src_iy * w + src_ix).astype(jnp.int32)      # (L*K,)
+        # optimization_barrier on the gather indices: with
+        # --xla_allow_excess_precision (always on for this runtime)
+        # XLA:TPU fuses the float clip(round(coord/stride)) index chain
+        # INTO the gather and recomputes it with a different
+        # contraction than the standalone value, fetching a different
+        # row at knife-edge cells (~0.7% of keypoints on realistic
+        # content). HW-bisected: the index tensors themselves compare
+        # bitwise EQUAL to the CPU oracle; only the fused-gather rows
+        # differ, and pinning the index with a barrier restores
+        # bit-exactness. Cost: the int32 index is materialized (it
+        # already is on the output path). This path runs on CPU and on
+        # grids beyond the pallas VMEM ceiling; the pallas kernel is
+        # unaffected.
+        src_cells = lax.optimization_barrier(
+            (src_iy * w + src_ix).astype(jnp.int32))             # (L*K,)
         drows = disp_table[src_cells]                            # (L*K, 32)
 
         # Displaced landing cells, then one gather for score+offset rows.
@@ -248,7 +264,8 @@ def _traverse_all_candidates(cand_scores, cand_kp, root_coords, sov_table,
         coord_x = jnp.concatenate([coords_x[s] for _, s, _ in level]) + disp_x
         tgt_iy = jnp.clip(jnp.round(coord_y / stride), 0.0, h - 1.0)
         tgt_ix = jnp.clip(jnp.round(coord_x / stride), 0.0, w - 1.0)
-        tgt_cells = (tgt_iy * w + tgt_ix).astype(jnp.int32)
+        tgt_cells = lax.optimization_barrier(
+            (tgt_iy * w + tgt_ix).astype(jnp.int32))
         trows = sov_table[tgt_cells]                             # (L*K, 51)
 
         for i, (e, s, t) in enumerate(level):
@@ -438,12 +455,12 @@ def decode_batch(heatmap, offsets, dfwd, dbwd, output_stride: int,
     On TPU the gather-bound tree walk routes through the pallas one-hot
     MXU kernel (posenet_tpu.ops.pallas.traversal); elsewhere — and when
     cfg.use_pallas is False — the pure-XLA level-batched traversal runs.
-    Parity caveat: golden tests pin BOTH paths on CPU and the pallas
-    kernel on TPU; the XLA path ON TPU is NOT reference-exact
-    (--xla_allow_excess_precision FMA-contracts `cell*stride + offset`
-    and ~0.7% of keypoints flip a knife-edge cell) — only grids too large
-    for the kernel's VMEM ceiling (>~48k cells, beyond stride-8 1080p)
-    take that path.
+    Both paths are reference-exact on TPU: golden tests pin them on CPU,
+    and the XLA path's gather indices are optimization_barrier-pinned
+    (see run_level) so --xla_allow_excess_precision cannot flip
+    knife-edge cells — HW-verified bitwise equal to the CPU oracle up to
+    271x481 grids (tools/verify_tpu_exactness.py; pose scores within
+    1 ulp from reduction order).
     """
     h, w = heatmap.shape[1], heatmap.shape[2]
     use_pallas = cfg.use_pallas

@@ -1,0 +1,87 @@
+"""HW verification: TPU decode (XLA path, incl. the beyond-pallas-ceiling
+auto fallback at 271x481) is bit-exact vs the CPU oracle.
+
+Two-process protocol (CPU and TPU backends cannot share one process):
+
+    python tools/verify_tpu_exactness.py cpu   # writes /tmp/exact_big.npz
+    python tools/verify_tpu_exactness.py tpu   # decodes on TPU, compares
+
+Expected: every *_coords and *_scores array BITWISE EQUAL; *_ps (pose
+scores) may differ by 1 ulp (~3e-8) — the 17-element instance-score
+reduction can associate differently on TPU; both are valid f32 roundings
+of the same sum (the reference computes it in host float64). Guards the
+`lax.optimization_barrier` index pinning in decode.py `_traverse` /
+`_traverse_all_candidates` — without it, XLA:TPU fuses the float
+clip(round(coord/stride)) chain into the gathers and recomputes it with
+a different contraction, flipping ~0.7% of keypoints one cell off
+(round-3 HW bisection; see PARITY.md).
+"""
+import sys
+
+import numpy as np
+
+mode = sys.argv[1]
+import jax
+
+if mode == 'cpu':
+    jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+import jax.numpy as jnp
+
+from posenet_tpu.config import DecodeConfig
+from posenet_tpu.decode import decode_batch
+
+
+def synth(seed, H, W, B, people):
+    rng = np.random.RandomState(seed)
+    hm = rng.uniform(0.0, 0.2, (B, H, W, 17)).astype(np.float32)
+    yy, xx = np.mgrid[0:H, 0:W]
+    for b in range(B):
+        for p in range(people):
+            ky = rng.randint(2, H - 2, 17)
+            kx = rng.randint(2, W - 2, 17)
+            g = np.exp(-((yy[None] - ky[:, None, None]) ** 2
+                         + (xx[None] - kx[:, None, None]) ** 2) / 4.0)
+            hm[b] = np.maximum(hm[b], 0.9 * np.transpose(g, (1, 2, 0)))
+    off = rng.uniform(-8, 8, (B, H, W, 34)).astype(np.float32)
+    dfwd = rng.uniform(-24, 24, (B, H, W, 32)).astype(np.float32)
+    dbwd = rng.uniform(-24, 24, (B, H, W, 32)).astype(np.float32)
+    return hm, off, dfwd, dbwd
+
+
+cases = [
+    ('4kgrid', 271, 481, 1, 8, None),   # > 68MB table ceiling: auto -> XLA
+    ('s91a', 91, 161, 2, 6, False),
+    ('s91b', 91, 161, 2, 6, False),
+]
+results = {}
+for i, (name, H, W, B, ppl, use_pallas) in enumerate(cases):
+    heads = synth(100 + i, H, W, B, ppl)
+    cfg = DecodeConfig(min_pose_score=0.02, score_threshold=0.25,
+                       use_pallas=use_pallas)
+    out = decode_batch(*[jnp.asarray(a) for a in heads], 8, cfg)
+    results[f'{name}_coords'] = np.asarray(out.keypoint_coords)
+    results[f'{name}_scores'] = np.asarray(out.keypoint_scores)
+    results[f'{name}_ps'] = np.asarray(out.pose_scores)
+    print(name, 'poses:', int((results[f"{name}_ps"] > 0).sum()))
+
+if mode == 'cpu':
+    np.savez('/tmp/exact_big.npz', **results)
+    print('cpu written')
+else:
+    ref = np.load('/tmp/exact_big.npz')
+    ok = True
+    for k, v in results.items():
+        if np.array_equal(v, ref[k]):
+            print(f'{k}: EQUAL')
+            continue
+        d = np.abs(v - ref[k])
+        if k.endswith('_ps') and d.max() <= 4e-8:
+            print(f'{k}: within 1 ulp (max {d.max():.3g}) — expected, '
+                  f'see module docstring')
+            continue
+        ok = False
+        print(f'{k}: {np.count_nonzero(d)}/{d.size} differ, '
+              f'max {d.max():.6g}')
+    print('PASS: coords/scores bitwise equal' if ok else 'FAIL: MISMATCH')
+    sys.exit(0 if ok else 1)
