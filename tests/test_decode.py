@@ -403,15 +403,18 @@ def test_greedy_accept_rounds_equal_per_candidate_loop(seed, params):
                                   np.zeros((0, 17, 2), np.float32))
 
 
+@pytest.mark.parametrize("hw", [33, 7])
 @pytest.mark.parametrize("seed", range(4))
-def test_two_stage_topk_bit_equal(seed):
+def test_two_stage_topk_bit_equal(seed, hw):
     """top_k_candidates_two_stage must reproduce the flat global top-k
     BIT-FOR-BIT, including tie ordering — exercised with heavy duplicate
-    scores within and across keypoint planes."""
+    scores within and across keypoint planes, and on a grid SMALLER than
+    k (hw=7: per-plane k' = H*W = 49 < k) where the merge pool is the
+    entire masked volume."""
     from posenet_tpu.ops.nms import top_k_candidates_two_stage
 
     rng = np.random.RandomState(seed)
-    h = w = 33
+    h = w = hw
     # quantize scores coarsely so ties are everywhere
     scores = np.round(rng.uniform(0.4, 1.0, (h, w, 17)) * 8) / 8
     scores = jnp.asarray(scores.astype(np.float32))
@@ -422,3 +425,79 @@ def test_two_stage_topk_bit_equal(seed):
         for x, y, name in zip(a, b, ("scores", "kp", "ys", "xs")):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
                                           err_msg=f"k={k} {name}")
+
+
+@pytest.mark.parametrize("case", range(30))
+def test_greedy_accept_randomized_ties(case):
+    """Randomized adversarial sweep of the rounds-per-pose accept vs the
+    per-candidate reference loop: random nms_radius INCLUDING 0, random
+    min_pose_score including 0, quantized coordinates and DUPLICATED
+    candidates so root-NMS/overlap comparisons hit exact boundary
+    equality (<= r^2) and tie-order decisions constantly."""
+    from posenet_tpu.decode import _greedy_accept
+
+    rng = np.random.RandomState(1000 + case)
+    K = 48
+    P = int(rng.choice([1, 3, 10]))
+    radius = int(rng.choice([0, 1, 5, 20, 60]))
+    min_ps = float(rng.choice([0.0, 0.25, 0.5]))
+    n_live = rng.randint(0, K + 1)
+    cand_scores = np.full((K,), -1.0, np.float32)
+    # quantized scores -> frequent exact ties in the ranked list
+    cand_scores[:n_live] = np.sort(
+        np.round(rng.uniform(0.3, 1.0, n_live) * 4) / 4
+    )[::-1].astype(np.float32)
+    cand_kp = rng.randint(0, NUM_KEYPOINTS, K).astype(np.int32)
+    # integer-quantized coords: d^2 == r^2 boundary hits are common
+    root_coords = rng.randint(0, 12, (K, 2)).astype(np.float32) * 5.0
+    # duplicate a third of the candidates onto earlier ones
+    for _ in range(K // 3):
+        i, j = rng.randint(0, K, 2)
+        root_coords[i] = root_coords[j]
+        cand_kp[i] = cand_kp[j]
+    all_coords = (root_coords[:, None, :]
+                  + rng.randint(-8, 9, (K, 17, 2)) * 5.0).astype(np.float32)
+    all_coords[np.arange(K), cand_kp] = root_coords
+    all_scores = rng.uniform(0, 1, (K, 17)).astype(np.float32)
+    all_offsets = rng.uniform(-8, 8, (K, 17, 2)).astype(np.float32)
+
+    cfg = DecodeConfig(score_threshold=0.3, max_candidates=K,
+                       max_pose_detections=P, nms_radius=radius,
+                       min_pose_score=min_ps)
+
+    r2 = np.float32(radius ** 2)
+    acc_scores, acc_kc = [], []
+    accepted_idx = []
+    for i in range(K):
+        if cand_scores[i] <= -0.5 or len(acc_scores) >= P:
+            break
+        if any(np.sum((kc[cand_kp[i]] - root_coords[i]) ** 2) <= r2
+               for kc in acc_kc):
+            continue
+        overlapped = np.zeros(17, bool)
+        for kc in acc_kc:
+            overlapped |= np.sum((kc - all_coords[i]) ** 2, -1) <= r2
+        inst = float(np.where(overlapped, 0.0, all_scores[i]).sum()) / 17
+        if min_ps != 0.0 and inst < min_ps:
+            continue
+        acc_scores.append(inst)
+        acc_kc.append(all_coords[i])
+        accepted_idx.append(i)
+
+    out = _greedy_accept(jnp.asarray(cand_scores), jnp.asarray(cand_kp),
+                         jnp.asarray(root_coords), jnp.asarray(all_scores),
+                         jnp.asarray(all_coords), jnp.asarray(all_offsets),
+                         cfg)
+    n = len(acc_scores)
+    got = np.asarray(out.pose_scores)
+    # NOTE: a pose can be accepted with inst == 0.0 exactly (all 17
+    # keypoints overlapped at min_pose_score == 0), so slot count is
+    # asserted through the coords buffers, not through `score > 0`.
+    np.testing.assert_allclose(got[:n], np.asarray(acc_scores, np.float32),
+                               rtol=1e-6, err_msg=str(accepted_idx))
+    assert (got[n:] == 0).all()
+    got_kc = np.asarray(out.keypoint_coords)
+    np.testing.assert_array_equal(
+        got_kc[:n],
+        np.stack(acc_kc) if n else np.zeros((0, 17, 2), np.float32))
+    assert (got_kc[n:] == 0).all()
