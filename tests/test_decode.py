@@ -403,6 +403,62 @@ def test_greedy_accept_rounds_equal_per_candidate_loop(seed, params):
                                   np.zeros((0, 17, 2), np.float32))
 
 
+@pytest.mark.skipif(not reference_oracle.has_reference(),
+                    reason="reference unavailable")
+@pytest.mark.parametrize("case", range(8))
+def test_decode_fuzz_parity(case):
+    """Randomized end-to-end parity vs the torch reference across the
+    parameter space the fixed matrices don't reach: NON-SQUARE grids,
+    stride 32, radius 0 and 90, min_pose_score 0, crowded scenes.
+
+    Synthesis notes (what makes this sweep fair): peak amplitudes are
+    continuous-random so exact score ties — where the reference's
+    torch.argsort is unstable and divergence is documented (PARITY.md) —
+    have measure zero; max_candidates=512 exceeds every case's local-max
+    count, so the (documented) candidate-budget truncation never kicks in.
+    A 40-case offline run of this generator reproduced parity exactly once
+    those two documented divergences were controlled for."""
+    rng = np.random.RandomState(7000 + case * 13)
+    stride = int(rng.choice([8, 16, 32]))
+    r_h = int(rng.choice([9, 17, 33]))
+    r_w = int(rng.choice([9, 17, 33]))
+    n_people = rng.randint(0, 6)
+    hm = rng.uniform(0, 0.45, (r_h, r_w, 17))
+    yy, xx = np.mgrid[0:r_h, 0:r_w]
+    for _ in range(n_people):
+        ky = rng.randint(1, r_h - 1, 17)
+        kx = rng.randint(1, r_w - 1, 17)
+        g = np.exp(-((yy[None] - ky[:, None, None]) ** 2
+                     + (xx[None] - kx[:, None, None]) ** 2) / 3.0)
+        amp = rng.uniform(0.75, 1.0, 17)[None, None, :]
+        hm = np.maximum(hm, amp * np.transpose(g, (1, 2, 0)))
+    hm = hm.astype(np.float32)
+    off = rng.uniform(-stride, stride, (r_h, r_w, 34)).astype(np.float32)
+    dfw = rng.uniform(-2 * stride, 2 * stride,
+                      (r_h, r_w, 32)).astype(np.float32)
+    dbw = rng.uniform(-2 * stride, 2 * stride,
+                      (r_h, r_w, 32)).astype(np.float32)
+    kw = dict(
+        max_pose_detections=int(rng.choice([1, 3, 5, 10, 15])),
+        score_threshold=float(rng.choice([0.25, 0.4, 0.5, 0.7])),
+        nms_radius=int(rng.choice([0, 5, 20, 45, 90])),
+        min_pose_score=float(rng.choice([0.0, 0.15, 0.25, 0.5])),
+    )
+    chw = lambda a: np.transpose(a, (2, 0, 1))
+    ref = reference_oracle.reference_decode(
+        chw(hm), chw(off), chw(dfw), chw(dbw), stride, **kw)
+    ours = decode_multiple_poses(chw(hm), chw(off), chw(dfw), chw(dbw),
+                                 stride, max_candidates=512, **kw)
+    ref_ps = np.asarray(ref[0])
+    n_ref = int((ref_ps > 0).sum())
+    assert int((ours[0] > 0).sum()) == n_ref
+    if n_ref:
+        np.testing.assert_allclose(ours[0][:n_ref], ref_ps[:n_ref],
+                                   atol=1e-5)
+        np.testing.assert_allclose(ours[2][:n_ref],
+                                   np.asarray(ref[2])[:n_ref], atol=1e-3)
+
+
 @pytest.mark.parametrize("hw", [33, 7])
 @pytest.mark.parametrize("seed", range(4))
 def test_two_stage_topk_bit_equal(seed, hw):
