@@ -66,14 +66,20 @@ def test_output_shapes(model_id, stride, size):
     (101, 16, 97),
     (101, 8, 65),
     (101, 32, 65),
+    # NON-SQUARE inputs (the reference's canonical workloads are 1280x720
+    # aspect): distinct H/W exercises per-axis output-grid math and the
+    # asymmetric dilated padding at every layer.
+    (101, 16, (97, 65)),
+    (100, 8, (65, 33)),
 ])
 def test_backbone_parity_vs_reference(model_id, stride, size):
     """4 head tensors must match the PyTorch reference <=1e-4 (SURVEY §7.3)."""
     cfg = ModelConfig(model_id=model_id, output_stride=stride)
     params = mobilenet_v1.init_params(jax.random.PRNGKey(42), cfg)
 
+    h, w = (size, size) if isinstance(size, int) else size
     rng = np.random.RandomState(0)
-    x_nchw = rng.uniform(-1, 1, size=(1, 3, size, size)).astype(np.float32)
+    x_nchw = rng.uniform(-1, 1, size=(1, 3, h, w)).astype(np.float32)
 
     ref_heads = reference_oracle.reference_forward(params, x_nchw, model_id, stride)
 
