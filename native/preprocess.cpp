@@ -71,7 +71,6 @@ void resize_rows(const uint8_t* src, int src_h, int src_w, uint8_t* dst,
                  int dst_h, int dst_w, int y_begin, int y_end,
                  const ResizePlan& px, bool swap_rb) {
   const double yscale = static_cast<double>(src_h) / dst_h;
-  std::vector<int32_t> row(dst_w * 3);
   for (int y = y_begin; y < y_end; ++y) {
     double fy = (y + 0.5) * yscale - 0.5;
     int iy = static_cast<int>(std::floor(fy));
