@@ -53,12 +53,11 @@ def decode_multiple_poses(
         min_pose_score=min_pose_score,
         max_candidates=max_candidates,
     )
-    # Route through decode_batch (leading batch axis of 1) rather than the
-    # single-image XLA path: on TPU decode_batch auto-selects the pallas
-    # traversal kernel, which is bit-exact to the reference, whereas the
-    # XLA traversal ON TPU FMA-contracts `cell*stride + offset` and can
-    # flip ~0.7% of keypoints across a cell boundary (PARITY.md). On CPU
-    # both routes are identical.
+    # Route through decode_batch (leading batch axis of 1) so TPU callers
+    # get the pallas traversal kernel by default. Both decode_batch routes
+    # (pallas and the barrier-pinned XLA traversal) are now bit-exact to
+    # the reference on TPU (PARITY.md); pallas remains the default there
+    # because it is also the faster path.
     result = decode_batch(
         _to_hwc(scores)[None], _to_hwc(offsets)[None],
         _to_hwc(displacements_fwd)[None], _to_hwc(displacements_bwd)[None],

@@ -414,10 +414,11 @@ def test_decode_fuzz_parity(case):
     Synthesis notes (what makes this sweep fair): peak amplitudes are
     continuous-random so exact score ties — where the reference's
     torch.argsort is unstable and divergence is documented (PARITY.md) —
-    have measure zero; max_candidates=512 exceeds every case's local-max
-    count, so the (documented) candidate-budget truncation never kicks in.
-    A 40-case offline run of this generator reproduced parity exactly once
-    those two documented divergences were controlled for."""
+    have measure zero; max_candidates is sized PER CASE from the actual
+    masked local-max count (low thresholds on 33x33 grids can exceed a
+    fixed 512), so the (documented) candidate-budget truncation never
+    kicks in. A 40-case offline run of this generator reproduced parity
+    exactly once those two documented divergences were controlled for."""
     rng = np.random.RandomState(7000 + case * 13)
     stride = int(rng.choice([8, 16, 32]))
     r_h = int(rng.choice([9, 17, 33]))
@@ -444,11 +445,15 @@ def test_decode_fuzz_parity(case):
         nms_radius=int(rng.choice([0, 5, 20, 45, 90])),
         min_pose_score=float(rng.choice([0.0, 0.15, 0.25, 0.5])),
     )
+    n_local_max = int(np.asarray(local_max_mask(
+        jnp.asarray(hm), kw["score_threshold"], LOCAL_MAXIMUM_RADIUS)).sum())
+    budget = max(128, -(-n_local_max // 64) * 64)
+    assert budget >= n_local_max  # fairness premise, by construction
     chw = lambda a: np.transpose(a, (2, 0, 1))
     ref = reference_oracle.reference_decode(
         chw(hm), chw(off), chw(dfw), chw(dbw), stride, **kw)
     ours = decode_multiple_poses(chw(hm), chw(off), chw(dfw), chw(dbw),
-                                 stride, max_candidates=512, **kw)
+                                 stride, max_candidates=budget, **kw)
     ref_ps = np.asarray(ref[0])
     n_ref = int((ref_ps > 0).sum())
     assert int((ours[0] > 0).sum()) == n_ref

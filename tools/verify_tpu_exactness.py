@@ -20,6 +20,8 @@ import sys
 
 import numpy as np
 
+if len(sys.argv) != 2 or sys.argv[1] not in ('cpu', 'tpu'):
+    sys.exit(f'usage: {sys.argv[0]} cpu|tpu  (run cpu first, then tpu)')
 mode = sys.argv[1]
 import jax
 
@@ -27,6 +29,13 @@ if mode == 'cpu':
     jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
 import jax.numpy as jnp
+
+if mode == 'tpu' and jax.default_backend() != 'tpu':
+    # The axon TPU is tunneled and silently ABSENT in background shells;
+    # without this guard the "tpu" run would compare CPU against CPU and
+    # vacuously PASS.
+    sys.exit(f'FAIL: tpu mode but default backend is {jax.default_backend()!r}'
+             ' — run from a foreground shell with the TPU tunnel up')
 
 from posenet_tpu.config import DecodeConfig
 from posenet_tpu.decode import decode_batch
@@ -76,7 +85,9 @@ else:
             print(f'{k}: EQUAL')
             continue
         d = np.abs(v - ref[k])
-        if k.endswith('_ps') and d.max() <= 4e-8:
+        # 1 ulp is value-dependent (5.96e-8 in [0.5,1), 1.19e-7 in [1,2));
+        # compare against the spacing at each reference value, not a constant.
+        if k.endswith('_ps') and (d <= np.spacing(np.abs(ref[k]))).all():
             print(f'{k}: within 1 ulp (max {d.max():.3g}) — expected, '
                   f'see module docstring')
             continue
