@@ -14,7 +14,8 @@ from posenet_tpu.decode import (DecodedPoses, decode_batch,  # noqa: F401
                                 decode_pose, decode_single_pose, find_root)
 from posenet_tpu.decode_multi import (decode_multiple_poses,  # noqa: F401
                                       decode_multiple_poses_batch)
-from posenet_tpu.models.model_factory import PoseNet, load_model  # noqa: F401
+from posenet_tpu.models.model_factory import (MobileNetV1, PoseNet,  # noqa: F401
+                                              load_model)
 from posenet_tpu.models.mobilenet_v1 import MOBILENET_V1_CHECKPOINTS  # noqa: F401
 from posenet_tpu.pipeline import PoseNetPipeline  # noqa: F401
 from posenet_tpu.preprocess import (process_input, read_cap,  # noqa: F401

@@ -68,6 +68,17 @@ class PoseNet:
         return heads
 
 
+def MobileNetV1(model_id: int = 101, output_stride: int = 16, *,
+                compute_dtype=jnp.float32, seed: int = 0) -> PoseNet:
+    """Construct a randomly-initialized model, mirroring the reference's
+    `MobileNetV1(model_id, output_stride)` (an untrained torch module,
+    mobilenet_v1.py:130). Use `load_model` for checkpoint weights."""
+    cfg = ModelConfig(model_id=model_id, output_stride=output_stride,
+                      compute_dtype=compute_dtype)
+    params = mobilenet_v1.init_params(jax.random.PRNGKey(seed), cfg)
+    return PoseNet(params, cfg)
+
+
 def load_model(model_id: int = 101, output_stride: int = 16,
                model_dir: str = MODEL_DIR, *,
                compute_dtype=jnp.float32,
