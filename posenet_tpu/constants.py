@@ -14,6 +14,15 @@ from __future__ import annotations
 
 import numpy as np
 
+# Keeps `from posenet_tpu.constants import *` (the package facade) from
+# leaking the numpy import into the public namespace.
+__all__ = [
+    "PART_NAMES", "NUM_KEYPOINTS", "PART_IDS", "CONNECTED_PART_NAMES",
+    "CONNECTED_PART_INDICES", "LOCAL_MAXIMUM_RADIUS", "POSE_CHAIN",
+    "PARENT_CHILD_TUPLES", "NUM_EDGES", "EDGES", "PART_CHANNELS",
+    "OKS_SIGMAS",
+]
+
 PART_NAMES = [
     "nose", "leftEye", "rightEye", "leftEar", "rightEar", "leftShoulder",
     "rightShoulder", "leftElbow", "rightElbow", "leftWrist", "rightWrist",

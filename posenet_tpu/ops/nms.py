@@ -42,6 +42,21 @@ def local_max_mask(scores: jax.Array, score_threshold: float,
     return (scores == max_vals) & (scores >= score_threshold)
 
 
+def _pad_candidates(top_scores, kp, ys, xs, k):
+    """Pad ranked candidates to static size k with the invalid-slot
+    sentinel (score -1, cell 0). Needed when the requested budget exceeds
+    the masked score volume (e.g. max_candidates=128 on a 3x2 stride-32
+    grid: pool = 17*6 = 102 < 128) — lax.top_k requires k <= axis size."""
+    pad = k - top_scores.shape[0]
+    if pad <= 0:
+        return top_scores, kp, ys, xs
+    return (jnp.concatenate([top_scores,
+                             jnp.full((pad,), -1.0, top_scores.dtype)]),
+            jnp.concatenate([kp, jnp.zeros((pad,), kp.dtype)]),
+            jnp.concatenate([ys, jnp.zeros((pad,), ys.dtype)]),
+            jnp.concatenate([xs, jnp.zeros((pad,), xs.dtype)]))
+
+
 def top_k_candidates(scores: jax.Array, mask: jax.Array,
                      k: int) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Rank masked local maxima by score, descending, with static size k.
@@ -57,12 +72,12 @@ def top_k_candidates(scores: jax.Array, mask: jax.Array,
     h, w, _ = scores.shape
     # (H, W, K) -> (K, H, W) flatten: keypoint-major like the reference.
     flat = jnp.where(mask, scores, -1.0).transpose(2, 0, 1).reshape(-1)
-    top_scores, top_idx = lax.top_k(flat, k)
+    top_scores, top_idx = lax.top_k(flat, min(k, flat.shape[0]))
     kp = top_idx // (h * w)
     rem = top_idx % (h * w)
     ys = rem // w
     xs = rem % w
-    return top_scores, kp, ys, xs
+    return _pad_candidates(top_scores, kp, ys, xs, k)
 
 
 def top_k_candidates_two_stage(scores: jax.Array, mask: jax.Array,
@@ -93,9 +108,9 @@ def top_k_candidates_two_stage(scores: jax.Array, mask: jax.Array,
     flat = jnp.where(mask, scores, -1.0).transpose(2, 0, 1).reshape(n_kp, -1)
     plane_scores, plane_idx = lax.top_k(flat, kp_plane)      # (17, k')
     merged = plane_scores.reshape(-1)                        # (17*k',)
-    top_scores, merged_idx = lax.top_k(merged, k)
+    top_scores, merged_idx = lax.top_k(merged, min(k, merged.shape[0]))
     kp = merged_idx // kp_plane
     cell = plane_idx.reshape(-1)[merged_idx]
     ys = cell // w
     xs = cell % w
-    return top_scores, kp, ys, xs
+    return _pad_candidates(top_scores, kp, ys, xs, k)

@@ -233,9 +233,11 @@ def sepconv_pallas(x, dw_w, dw_b, pw_w, pw_b, tr: int = 32,
     Replaces the XLA pair relu6(conv1x1(relu6(depthwise3x3(x)))) for layers
     the stride->dilation plan leaves at stride 1 / rate 1 (reference
     mobilenet_v1.py:57-68). Requires C_in % 128 == 0 (Mosaic lane-dim DMA
-    constraint) and W % 8 == 0 (tiled-dim DMA alignment); the backbone's
-    width plan (mobilenet_v1.fused_width_plan) provides the padded widths
-    and callers fall back to XLA otherwise.
+    constraint) and W % 8 == 0 (tiled-dim DMA alignment); a caller wiring
+    this in must zero-pad the width to the next multiple of 8 and pass the
+    true width as `valid_w` (columns >= valid_w are ignored on read and
+    garbage on write), falling back to XLA for layers that don't satisfy
+    the channel constraint.
 
     Args:
       x: (B, H, W, C) bf16, W % 8 == 0. Columns >= `valid_w` are padding

@@ -14,6 +14,7 @@ shard; no cross-chip communication is needed for inference).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional, Tuple
 
@@ -89,6 +90,15 @@ class PoseNetPipeline:
               frame must be computed by many chips.
         """
         self.model = model
+        if mesh is not None and decode_cfg.use_pallas is None:
+            # pallas_call has no GSPMD partitioning rule: inside a
+            # mesh-sharded jit the Mosaic custom call would either fail to
+            # partition or force the decode to be all-gathered and
+            # replicated on every chip. The XLA traversal path shards
+            # cleanly and is equally reference-exact on TPU (PARITY.md),
+            # so auto resolves to it under a mesh. An explicit
+            # use_pallas=True is honored (single-device meshes work).
+            decode_cfg = dataclasses.replace(decode_cfg, use_pallas=False)
         self.decode_cfg = decode_cfg
         self.mesh = mesh
         # Pre-cast conv kernels to the compute dtype once, so the compiled

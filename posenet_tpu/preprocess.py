@@ -36,18 +36,14 @@ def valid_resolution(width: float, height: float,
     return target_width, target_height
 
 
-def process_input(source_img: np.ndarray, scale_factor: float = 1.0,
-                  output_stride: int = 16):
-    """BGR uint8 HWC frame -> (input (1,3,th,tw) float32 in [-1,1],
-    source_img, scale (2,)) — reference utils.py:13-26 contract."""
+def _resize_normalize(source_img: np.ndarray, target_width: int,
+                      target_height: int):
+    """Shared body of the host preprocess paths: cv2 bilinear resize,
+    BGR->RGB, *2/255-1, HWC->NCHW — plus the (2,) coordinate scale."""
     import cv2
 
-    target_width, target_height = valid_resolution(
-        source_img.shape[1] * scale_factor, source_img.shape[0] * scale_factor,
-        output_stride=output_stride)
     scale = np.array([source_img.shape[0] / target_height,
                       source_img.shape[1] / target_width])
-
     input_img = cv2.resize(source_img, (target_width, target_height),
                            interpolation=cv2.INTER_LINEAR)
     input_img = cv2.cvtColor(input_img, cv2.COLOR_BGR2RGB).astype(np.float32)
@@ -55,6 +51,16 @@ def process_input(source_img: np.ndarray, scale_factor: float = 1.0,
     input_img = input_img.transpose((2, 0, 1)).reshape(
         1, 3, target_height, target_width)
     return input_img, source_img, scale
+
+
+def process_input(source_img: np.ndarray, scale_factor: float = 1.0,
+                  output_stride: int = 16):
+    """BGR uint8 HWC frame -> (input (1,3,th,tw) float32 in [-1,1],
+    source_img, scale (2,)) — reference utils.py:13-26 contract."""
+    target_width, target_height = valid_resolution(
+        source_img.shape[1] * scale_factor, source_img.shape[0] * scale_factor,
+        output_stride=output_stride)
+    return _resize_normalize(source_img, target_width, target_height)
 
 
 def process_input_fixed(source_img: np.ndarray, target_hw,
@@ -68,19 +74,9 @@ def process_input_fixed(source_img: np.ndarray, target_hw,
     all images through one target resolution gives exactly one program;
     decoded coordinates scale back through the same (2,) `scale` contract.
     """
-    import cv2
-
     target_width, target_height = valid_resolution(
         target_hw[1], target_hw[0], output_stride=output_stride)
-    scale = np.array([source_img.shape[0] / target_height,
-                      source_img.shape[1] / target_width])
-    input_img = cv2.resize(source_img, (target_width, target_height),
-                           interpolation=cv2.INTER_LINEAR)
-    input_img = cv2.cvtColor(input_img, cv2.COLOR_BGR2RGB).astype(np.float32)
-    input_img = input_img * (2.0 / 255.0) - 1.0
-    input_img = input_img.transpose((2, 0, 1)).reshape(
-        1, 3, target_height, target_width)
-    return input_img, source_img, scale
+    return _resize_normalize(source_img, target_width, target_height)
 
 
 def read_imgfile(path: str, scale_factor: float = 1.0,

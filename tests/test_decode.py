@@ -562,3 +562,49 @@ def test_greedy_accept_randomized_ties(case):
         got_kc[:n],
         np.stack(acc_kc) if n else np.zeros((0, 17, 2), np.float32))
     assert (got_kc[n:] == 0).all()
+
+
+@pytest.mark.skipif(not reference_oracle.has_reference(),
+                    reason="reference unavailable")
+def test_decode_tiny_grid_budget_exceeds_volume():
+    """max_candidates larger than the masked score volume (17*H*W) must
+    decode, not crash: lax.top_k requires k <= axis size, so the selectors
+    pad with the -1 sentinel (regression: default 128 on a 3x2 stride-32
+    grid raised ValueError). Parity vs the reference on the same scene."""
+    rng = np.random.RandomState(42)
+    h, w = 3, 2
+    hm = rng.uniform(0.3, 1.0, (17, h, w)).astype(np.float32)
+    off = rng.uniform(-8, 8, (34, h, w)).astype(np.float32)
+    dfw = rng.uniform(-20, 20, (32, h, w)).astype(np.float32)
+    dbw = rng.uniform(-20, 20, (32, h, w)).astype(np.float32)
+    kw = dict(max_pose_detections=10, score_threshold=0.25, nms_radius=20,
+              min_pose_score=0.0)
+    ref = reference_oracle.reference_decode(hm, off, dfw, dbw, 32, **kw)
+    for budget in (128, 1024):
+        ours = decode_multiple_poses(hm, off, dfw, dbw, 32,
+                                     max_candidates=budget, **kw)
+        n = int((np.asarray(ref[0]) > 0).sum())
+        assert int((ours[0] > 0).sum()) == n
+        np.testing.assert_allclose(ours[0][:n], np.asarray(ref[0])[:n],
+                                   atol=1e-5)
+        np.testing.assert_allclose(ours[2][:n], np.asarray(ref[2])[:n],
+                                   atol=1e-3)
+
+
+def test_topk_padding_sentinel():
+    """Both selectors pad beyond-volume slots with score -1 / cell 0 and
+    keep the real candidates bit-identical to the unpadded ranking."""
+    from posenet_tpu.ops.nms import (local_max_mask, top_k_candidates,
+                                     top_k_candidates_two_stage)
+    rng = np.random.RandomState(3)
+    s = jnp.asarray(rng.rand(2, 2, 17).astype(np.float32))
+    m = local_max_mask(s, 0.1, LOCAL_MAXIMUM_RADIUS)
+    pool = 17 * 4
+    base = top_k_candidates(s, m, pool)
+    for fn in (top_k_candidates, top_k_candidates_two_stage):
+        ts, kp, ys, xs = fn(s, m, 128)
+        assert ts.shape == (128,)
+        np.testing.assert_array_equal(np.asarray(ts[:pool]),
+                                      np.asarray(base[0]))
+        np.testing.assert_array_equal(np.asarray(ts[pool:]), -1.0)
+        np.testing.assert_array_equal(np.asarray(kp[pool:]), 0)

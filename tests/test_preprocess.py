@@ -239,3 +239,23 @@ def test_initialize_distributed_already_initialized_old_jax(monkeypatch):
     assert mesh_mod.initialize_distributed(
         coordinator_address='127.0.0.1:9999', num_processes=2,
         process_id=0) == jax.process_index()
+
+
+def test_pipeline_mesh_resolves_pallas_off():
+    """Under a mesh, auto use_pallas must resolve to the XLA path:
+    pallas_call has no GSPMD partitioning rule, so inside a sharded jit it
+    would force replication (or fail to partition) on a real multi-chip
+    TPU. An explicit setting is honored unchanged."""
+    from posenet_tpu.config import DecodeConfig
+    from posenet_tpu.models import load_model
+    from posenet_tpu.parallel.mesh import make_mesh
+    from posenet_tpu.pipeline import PoseNetPipeline
+
+    mesh = make_mesh(8)
+    model = load_model(50, output_stride=16, allow_random_init=True)
+    auto = DecodeConfig(min_pose_score=0.0)
+    assert PoseNetPipeline(model, auto, mesh=mesh).decode_cfg.use_pallas is False
+    assert PoseNetPipeline(model, auto).decode_cfg.use_pallas is None
+    explicit = DecodeConfig(min_pose_score=0.0, use_pallas=True)
+    assert PoseNetPipeline(model, explicit,
+                           mesh=mesh).decode_cfg.use_pallas is True
