@@ -99,6 +99,10 @@ def main():
         pipe.warmup((th, tw), args.batch_size)
         n_batches = max(1, num_images // args.batch_size)
         frames = jax.device_put(frames)  # upload once, reuse device-resident
+        # device_put is async: barrier the upload (a ~12 MB batch takes
+        # seconds over the tunnel) so the timed loop measures compute, not
+        # the one-time transfer.
+        np.asarray(frames[0, 0, 0, 0])
 
         if args.profile:
             from posenet_tpu.profiling import device_time_report, trace

@@ -59,6 +59,9 @@ def main():
     if args.resize:
         h, w = args.resize.lower().split('x')
         target_hw = (int(h), int(w))
+        if args.scale_factor != 1.0:
+            print('WARNING: --resize fixes the processing resolution; '
+                  '--scale_factor is ignored.')
 
     start = time.time()
     for f in filenames:

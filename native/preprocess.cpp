@@ -8,7 +8,13 @@
 // [-1, 1] normalization runs fused on-device (posenet_tpu/pipeline.py).
 //
 // - Bilinear resize with half-pixel centers (cv2.INTER_LINEAR convention)
-//   in fixed-point (11-bit weights) matching OpenCV's arithmetic.
+//   in fixed-point (11-bit weights). NOT bit-identical to OpenCV: the
+//   vertical pass keeps the full 22-bit product in a 64-bit accumulator
+//   where OpenCV's SIMD path truncates intermediates to 16 bits, so
+//   outputs can differ from cv2 by +-1 LSB on rounding-edge pixels (ours
+//   is the higher-precision result; tests/test_preprocess.py asserts the
+//   <=1 bound). Within one deployment the path is deterministic; callers
+//   needing cv2-identical frames should use the cv2 fallback explicitly.
 // - BGR -> RGB channel swap fused into the resize output write.
 // - A persistent pthread pool parallelizes across batch items AND row
 //   blocks, overlapping preprocessing of frame N+1 with device compute of

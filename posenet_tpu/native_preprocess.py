@@ -2,8 +2,12 @@
 
 Wraps native/preprocess.cpp: fixed-point bilinear resize (OpenCV
 INTER_LINEAR convention) with fused BGR->RGB swap and a pthread-pool batch
-path. Falls back to cv2 transparently when the shared library has not been
-built (`make -C native`).
+path. Falls back to cv2 when the shared library has not been built
+(`make -C native`). The two paths agree to within +-1 uint8 LSB, not
+bitwise: the native vertical pass keeps full intermediate precision where
+OpenCV's SIMD truncates to 16 bits (see the header of preprocess.cpp).
+Either path is deterministic on its own; pin one (build the library, or
+don't) when bit-reproducible frames matter across machines.
 
 This is the host half of the serving data path: it emits uint8 RGB frames
 at the stride-valid resolution; normalization to [-1, 1] runs fused

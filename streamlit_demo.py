@@ -116,29 +116,38 @@ def main():
             n_frames = max(int(cap.get(cv2.CAP_PROP_FRAME_COUNT)), 1)
             i = 0
             t0 = time.time()
-            while True:
-                ok, frame = cap.read()
-                if not ok:
-                    break
-                overlay = annotate_frame(frame, model, scale_factor,
-                                         min_pose_score, min_part_score)
-                if writer is None:
-                    fps = cap.get(cv2.CAP_PROP_FPS) or 15.0
-                    writer = cv2.VideoWriter(
-                        out_path, cv2.VideoWriter_fourcc(*"mp4v"),
-                        fps if fps > 0 else 15.0,
-                        (overlay.shape[1], overlay.shape[0]))
-                writer.write(overlay)
-                i += 1
-                progress.progress(min(i / n_frames, 1.0))
-            cap.release()
-            os.unlink(tfile.name)  # don't leak one /tmp copy per upload
+            try:
+                while True:
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    overlay = annotate_frame(frame, model, scale_factor,
+                                             min_pose_score, min_part_score)
+                    if writer is None:
+                        fps = cap.get(cv2.CAP_PROP_FPS)
+                        writer = cv2.VideoWriter(
+                            out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                            fps if fps > 0 else 15.0,
+                            (overlay.shape[1], overlay.shape[0]))
+                    writer.write(overlay)
+                    i += 1
+                    progress.progress(min(i / n_frames, 1.0))
+            finally:
+                # release/unlink even if annotate_frame raises mid-video —
+                # otherwise each failed attempt leaks a /tmp copy and an
+                # open capture/writer handle.
+                cap.release()
+                os.unlink(tfile.name)
+                if writer is not None:
+                    writer.release()
             if writer is not None:
-                writer.release()
                 st.write(f"{i} frames in {time.time()-t0:.1f}s")
                 with open(out_path, "rb") as f:
                     st.download_button("Download annotated video", f,
                                        file_name="output.mp4")
+            else:
+                st.error("Could not decode any frames from the uploaded "
+                         "video (unsupported codec or corrupt file).")
 
     else:  # Try existing image
         image_dir = st.text_input("Image directory", "./images")
