@@ -98,13 +98,18 @@ def main():
         return np.asarray(x).ravel()[0]
 
     # ---- headline: fused forward + peaked-content decode ----
+    # Best-of-3 runs of a 40-iteration dispatch window (CLAUDE.md timing
+    # methodology): chip-state variance between sessions is a few percent,
+    # and the best run is the least-perturbed measurement of the program.
     barrier(fused_peaked(params, frames, peaked, decode_cfg)[0].pose_scores)
     n_iters = 40
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        out = fused_peaked(params, frames, peaked, decode_cfg)
-    barrier(out[0].pose_scores)
-    elapsed = time.perf_counter() - start
+    elapsed = float('inf')
+    for _ in range(3):
+        start = time.perf_counter()
+        for _ in range(n_iters):
+            out = fused_peaked(params, frames, peaked, decode_cfg)
+        barrier(out[0].pose_scores)
+        elapsed = min(elapsed, time.perf_counter() - start)
     imgs_per_s = n_iters * batch / elapsed
 
     # p50 per-batch latency (single dispatch + barrier; includes tunnel RTT).
@@ -118,11 +123,14 @@ def main():
     # ---- extra: the old flat-content fused program (noise frames through
     # random weights -> near-flat heads -> early-exit decode) ----
     barrier(infer_jit(params, frames, cfg, decode_cfg).pose_scores)
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        out2 = infer_jit(params, frames, cfg, decode_cfg)
-    barrier(out2.pose_scores)
-    flat_imgs_per_s = n_iters * batch / (time.perf_counter() - start)
+    flat_elapsed = float('inf')
+    for _ in range(3):
+        start = time.perf_counter()
+        for _ in range(n_iters):
+            out2 = infer_jit(params, frames, cfg, decode_cfg)
+        barrier(out2.pose_scores)
+        flat_elapsed = min(flat_elapsed, time.perf_counter() - start)
+    flat_imgs_per_s = n_iters * batch / flat_elapsed
 
     baseline = 250.0  # reference README.md:12 midpoint (forward-only, GPU)
     print(json.dumps({

@@ -53,6 +53,7 @@ def run_inference_config(name, model_id, output_stride, height, width, batch,
         # single-frame latency; report it separately so device-side latency
         # is visible (a co-located host would not pay it).
         tiny = jnp.zeros((1,), jnp.float32) + 1.0
+        _barrier(tiny * 1.0)  # compile the probe OUTSIDE the timed loop
         rtts = []
         for _ in range(iters):
             t0 = time.perf_counter()

@@ -54,6 +54,16 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         # Explicitly-requested multi-process setup must not be swallowed.
         if coordinator_address is not None or num_processes not in (None, 1):
             raise
+        if 'before' in str(e).lower():
+            # The XLA backend was already initialized, so auto-detection
+            # never ran — on a real pod every host would now silently
+            # train its own full copy. We cannot distinguish "plain
+            # single-process dev run" from "pod with a too-late call"
+            # offline, so degrade loudly instead of silently.
+            print('WARNING: initialize_distributed() was called after the '
+                  'JAX backend was initialized; multi-host auto-detection '
+                  'was skipped. If this is a multi-host job, call it before '
+                  'any JAX computation or pass coordinator args explicitly.')
         # Single-process run with no coordinator configured (no pod env
         # to auto-detect, or the backend was already up): stay local.
         # process_index() is safe to call here — we return immediately,

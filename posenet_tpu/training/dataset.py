@@ -55,6 +55,15 @@ class PosenetDataset:
                  num_workers: int = 4):
         self.image_dir = image_dir
         self.keypoints_dir = keypoints_dir
+        if scale_factor != 1.0:
+            # Reference semantics (read_imgfile: scale, then snap to the
+            # stride-valid grid). Everything downstream — the resize in
+            # _load_u8 and the GT grid rescale below — derives from the
+            # effective image_size, so targets stay aligned.
+            from posenet_tpu.preprocess import valid_resolution
+            image_size = valid_resolution(image_size * scale_factor,
+                                          image_size * scale_factor,
+                                          output_stride)[0]
         self.image_size = image_size
         self.output_stride = output_stride
         self.scale_factor = scale_factor

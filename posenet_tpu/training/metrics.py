@@ -175,13 +175,15 @@ def calculate_mAP(precisions: np.ndarray, recalls: np.ndarray) -> float:
 
 def threshold_sweep(preds, gts, thresholds=None) -> Tuple[np.ndarray, np.ndarray, float]:
     """Precision/recall over a threshold sweep + mAP (the reference sweeps
-    50 thresholds in [0.1, 5.0] per item, train.py:765-779).
+    50 thresholds in [0.0, 10.0] per item, train.py:765-779 —
+    np.linspace(0.0, 10.0, num=50); same range here so logged mAP values
+    are comparable).
 
     The Hungarian matching and keypoint normalization are
     threshold-independent, so they run ONCE and all thresholds sweep over
     the cached distances (the reference redoes the full matching 50x)."""
     if thresholds is None:
-        thresholds = np.linspace(0.1, 5.0, 50)
+        thresholds = np.linspace(0.0, 10.0, 50)
     dists, fp0, fn0 = _match_statistics(preds, gts)
     ps, rs = [], []
     for t in thresholds:

@@ -18,7 +18,9 @@ model" branch saves nothing, train.py:897-899):
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import time
 from typing import Dict, Optional
 
@@ -62,14 +64,31 @@ class MetricLogger:
             print(parts)
 
 
-def save_checkpoint(ckpt_dir: str, state: ts.TrainState):
+def save_checkpoint(ckpt_dir: str, state: ts.TrainState,
+                    best_val_loss: Optional[float] = None):
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(ckpt_dir, f'step_{int(state.step)}'))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.device_get(state), force=True)
     ckptr.wait_until_finished()
+    if best_val_loss is not None:
+        # Sidecar so a resumed run doesn't overwrite the on-disk best model
+        # with a worse one at a higher step (best_val_loss would otherwise
+        # reset to inf across restarts). Written AFTER the checkpoint so a
+        # crash between the two leaves the stricter (older) bound.
+        with open(os.path.join(ckpt_dir, 'best.json'), 'w') as f:
+            json.dump({'step': int(state.step),
+                       'val_loss': float(best_val_loss)}, f)
     return path
+
+
+def _load_best_val_loss(ckpt_dir: str) -> float:
+    try:
+        with open(os.path.join(ckpt_dir, 'best.json')) as f:
+            return float(json.load(f)['val_loss'])
+    except (OSError, ValueError, KeyError):
+        return float('inf')
 
 
 def restore_checkpoint(ckpt_dir: str, template: ts.TrainState) -> Optional[ts.TrainState]:
@@ -77,7 +96,11 @@ def restore_checkpoint(ckpt_dir: str, template: ts.TrainState) -> Optional[ts.Tr
 
     if not os.path.isdir(ckpt_dir):
         return None
-    steps = [d for d in os.listdir(ckpt_dir) if d.startswith('step_')]
+    # Match only completed checkpoints: an interrupted save leaves a
+    # 'step_<N>.orbax-checkpoint-tmp' dir in the same parent, which must
+    # not crash (or win) the resume that exists to recover from it.
+    steps = [d for d in os.listdir(ckpt_dir)
+             if re.fullmatch(r'step_\d+', d)]
     if not steps:
         return None
     latest = max(steps, key=lambda d: int(d.split('_')[1]))
@@ -146,7 +169,7 @@ def dump_visual_diagnostics(params, batch, dataset: PosenetDataset,
     """Write predicted heatmap channels + keypoint overlays for one batch
     (the reference's per-step dumps, train.py:672-716 + visualizers.py,
     at a per-epoch cadence under `output_dir`)."""
-    import visualizers
+    from posenet_tpu import visualizers
 
     out = mobilenet_v1.forward_jit(params, jnp.asarray(batch['image']),
                                    model_cfg)
@@ -196,10 +219,12 @@ def train(train_dataset: PosenetDataset,
             jax.random.PRNGKey(train_cfg.seed), model_cfg)
 
     state, tx = ts.init_train_state(params, train_cfg)
+    resumed = False
     if resume:
         restored = restore_checkpoint(train_cfg.checkpoint_dir, state)
         if restored is not None:
             state = restored
+            resumed = True
             print(f'resumed from step {int(state.step)}')
 
     if mesh is not None:
@@ -208,17 +233,39 @@ def train(train_dataset: PosenetDataset,
     eval_fn = ts.make_eval_step(model_cfg, train_cfg, mesh=mesh)
 
     decode_cfg = DecodeConfig(min_pose_score=0.25, score_threshold=0.25)
-    best_val_loss = float('inf')
+    # Across restarts the best-so-far eval loss is persisted next to the
+    # checkpoints; the early-stop patience counter restarts (documented —
+    # it is not saved).
+    best_val_loss = (_load_best_val_loss(train_cfg.checkpoint_dir)
+                     if resumed else float('inf'))
     no_improve = 0
+
+    # The reference DataLoader keeps the last partial batch (drop_last
+    # defaults False); so do we when unsharded — the remainder shape is
+    # constant across epochs, so it costs exactly one extra compile.
+    # Under a mesh, batches must divide the device count, so the remainder
+    # IS dropped (loudly) and a dataset shorter than one batch wraps.
+    train_iter_kwargs = dict(drop_remainder=mesh is not None,
+                             wrap_if_short=mesh is not None)
+    if mesh is not None:
+        rem = (len(train_dataset) % train_cfg.batch_size
+               if len(train_dataset) >= train_cfg.batch_size else 0)
+        if rem:
+            print(f'note: mesh-sharded training drops the {rem}-image '
+                  f'epoch remainder (batches must divide the mesh)')
 
     for epoch in range(train_cfg.num_epochs):
         t0 = time.time()
         train_losses = []
         for batch in train_dataset.iter_batches(
                 train_cfg.batch_size, shuffle=True,
-                seed=train_cfg.seed + epoch):
-            device_batch = {'image': jnp.asarray(batch['image']),
-                            'keypoints': jnp.asarray(batch['keypoints'])}
+                seed=train_cfg.seed + epoch, **train_iter_kwargs):
+            # numpy leaves go straight to their final placement: device_put
+            # with the data sharding (mesh) or the jit transfer (single
+            # device) — a jnp.asarray here would upload the full batch to
+            # device 0 first, doubling host->device traffic on the tunnel.
+            device_batch = {'image': batch['image'],
+                            'keypoints': batch['keypoints']}
             if mesh is not None:
                 device_batch = mesh_lib.shard_batch(device_batch, mesh)
             state, m = step_fn(state, device_batch)
@@ -242,8 +289,8 @@ def train(train_dataset: PosenetDataset,
                     train_cfg.batch_size, shuffle=False,
                     drop_remainder=mesh is not None,
                     wrap_if_short=mesh is not None):
-                device_batch = {'image': jnp.asarray(batch['image']),
-                                'keypoints': jnp.asarray(batch['keypoints'])}
+                device_batch = {'image': batch['image'],
+                                'keypoints': batch['keypoints']}
                 eval_losses.append(eval_fn(state.params, device_batch))
                 if eval_pose_metrics:
                     oks, ap = evaluate_poses(state.params, batch, model_cfg,
@@ -261,7 +308,8 @@ def train(train_dataset: PosenetDataset,
             if val_loss < best_val_loss:
                 best_val_loss = val_loss
                 no_improve = 0
-                save_checkpoint(train_cfg.checkpoint_dir, state)
+                save_checkpoint(train_cfg.checkpoint_dir, state,
+                                best_val_loss=val_loss)
             else:
                 no_improve += 1
         else:

@@ -239,3 +239,83 @@ def test_score_decoded_predictions_without_gt_count_fp():
     empty = score_decoded_poses(np.zeros((1, 10, 17, 2)),
                                 np.zeros((1, 10)), gt, 16)
     assert empty == (0.0, 0.0)
+
+
+def test_restore_ignores_orbax_tmp_dirs(tmp_path):
+    """An interrupted orbax save leaves 'step_<N>.orbax-checkpoint-tmp' in
+    the checkpoint dir; resume must skip it (regression: int() on the dir
+    name raised ValueError, killing the recovery path it exists for)."""
+    cfg = ModelConfig(model_id=50, output_stride=16)
+    params = mobilenet_v1.init_params(jax.random.PRNGKey(0), cfg)
+    tcfg = TrainConfig(model_id=50, output_stride=16,
+                       checkpoint_dir=str(tmp_path))
+    state, _ = ts.init_train_state(params, tcfg)
+    save_checkpoint(str(tmp_path), state)
+    os.makedirs(os.path.join(str(tmp_path),
+                             "step_7.orbax-checkpoint-tmp"))
+    restored = restore_checkpoint(str(tmp_path), state)
+    assert restored is not None
+    assert int(restored.step) == int(state.step)
+    # a dir of ONLY tmp leftovers restores nothing (fresh start)
+    empty = str(tmp_path / "only_tmp")
+    os.makedirs(os.path.join(empty, "step_3.orbax-checkpoint-tmp"))
+    assert restore_checkpoint(empty, state) is None
+
+
+def test_best_val_loss_persists_across_resume(tmp_path):
+    """save_checkpoint writes the best-so-far eval loss next to the
+    checkpoints, and a resumed run must not overwrite the on-disk best
+    with a worse model (regression: best reset to inf across restarts)."""
+    from posenet_tpu.training.trainer import _load_best_val_loss
+
+    cfg = ModelConfig(model_id=50, output_stride=16)
+    params = mobilenet_v1.init_params(jax.random.PRNGKey(0), cfg)
+    tcfg = TrainConfig(model_id=50, output_stride=16,
+                       checkpoint_dir=str(tmp_path))
+    state, _ = ts.init_train_state(params, tcfg)
+    assert _load_best_val_loss(str(tmp_path)) == float("inf")
+    save_checkpoint(str(tmp_path), state, best_val_loss=0.125)
+    assert _load_best_val_loss(str(tmp_path)) == 0.125
+
+
+def test_train_remainder_not_dropped_unsharded(tmp_path):
+    """Unsharded training keeps the last partial batch like the reference
+    DataLoader (drop_last=False): 5 images at batch 2 -> 3 steps/epoch
+    (regression: the remainder was silently discarded every epoch; a
+    dataset smaller than one batch trained on nothing at all)."""
+    images, kpdir = make_synthetic_dataset(str(tmp_path), n_images=5)
+    ds = PosenetDataset(images, kpdir, image_size=65, output_stride=16)
+    tcfg = TrainConfig(model_id=50, output_stride=16, batch_size=2,
+                       num_epochs=1, learning_rate=1e-4,
+                       checkpoint_dir=str(tmp_path / "ckpt"),
+                       output_dir=str(tmp_path / "out"), visual_every=0)
+    state = train(ds, None, tcfg, logger=MetricLogger(verbose=False),
+                  resume=False, eval_pose_metrics=False)
+    assert int(state.step) == 3  # 2+2+1, not 2+2
+
+    # smaller than one batch: still one step, not zero
+    tcfg_big = TrainConfig(model_id=50, output_stride=16, batch_size=8,
+                           num_epochs=1, learning_rate=1e-4,
+                           checkpoint_dir=str(tmp_path / "ckpt2"),
+                           output_dir=str(tmp_path / "out2"), visual_every=0)
+    state = train(ds, None, tcfg_big, logger=MetricLogger(verbose=False),
+                  resume=False, eval_pose_metrics=False)
+    assert int(state.step) == 1
+
+
+def test_dataset_scale_factor_applied(tmp_path):
+    """scale_factor must change the training resolution (reference
+    read_imgfile semantics: scale, then snap stride-valid) — regression:
+    it was stored and ignored."""
+    images, kpdir = make_synthetic_dataset(str(tmp_path), n_images=2)
+    full = PosenetDataset(images, kpdir, image_size=513, output_stride=16)
+    half = PosenetDataset(images, kpdir, image_size=513, output_stride=16,
+                          scale_factor=0.5)
+    assert full.image_size == 513 and half.image_size == 257
+    assert half[0]["image"].shape == (257, 257, 3)
+    # GT grid coords scale with the output grid (33 -> 17 cells)
+    valid = ~np.all((full.keypoints[0] == 0) | (full.keypoints[0] == -1),
+                    axis=-1)
+    np.testing.assert_allclose(half.keypoints[0][valid],
+                               full.keypoints[0][valid] * (17 / 33),
+                               rtol=1e-5)
