@@ -97,20 +97,26 @@ def main():
         # block_until_ready can return before the computation finishes.
         return np.asarray(x).ravel()[0]
 
-    # ---- headline: fused forward + peaked-content decode ----
-    # Best-of-3 runs of a 40-iteration dispatch window (CLAUDE.md timing
-    # methodology): chip-state variance between sessions is a few percent,
-    # and the best run is the least-perturbed measurement of the program.
-    barrier(fused_peaked(params, frames, peaked, decode_cfg)[0].pose_scores)
     n_iters = 40
-    elapsed = float('inf')
-    for _ in range(3):
-        start = time.perf_counter()
-        for _ in range(n_iters):
-            out = fused_peaked(params, frames, peaked, decode_cfg)
-        barrier(out[0].pose_scores)
-        elapsed = min(elapsed, time.perf_counter() - start)
-    imgs_per_s = n_iters * batch / elapsed
+
+    def best_of_3(dispatch, fetch):
+        # Best-of-3 runs of an n_iters-dispatch window (CLAUDE.md timing
+        # methodology): chip-state variance between sessions is a few
+        # percent, and the best run is the least-perturbed measurement.
+        barrier(fetch(dispatch()))  # warm/compile outside the timed window
+        best = float('inf')
+        for _ in range(3):
+            start = time.perf_counter()
+            for _ in range(n_iters):
+                out = dispatch()
+            barrier(fetch(out))
+            best = min(best, time.perf_counter() - start)
+        return n_iters * batch / best
+
+    # ---- headline: fused forward + peaked-content decode ----
+    imgs_per_s = best_of_3(
+        lambda: fused_peaked(params, frames, peaked, decode_cfg),
+        lambda out: out[0].pose_scores)
 
     # p50 per-batch latency (single dispatch + barrier; includes tunnel RTT).
     lat = []
@@ -122,15 +128,9 @@ def main():
 
     # ---- extra: the old flat-content fused program (noise frames through
     # random weights -> near-flat heads -> early-exit decode) ----
-    barrier(infer_jit(params, frames, cfg, decode_cfg).pose_scores)
-    flat_elapsed = float('inf')
-    for _ in range(3):
-        start = time.perf_counter()
-        for _ in range(n_iters):
-            out2 = infer_jit(params, frames, cfg, decode_cfg)
-        barrier(out2.pose_scores)
-        flat_elapsed = min(flat_elapsed, time.perf_counter() - start)
-    flat_imgs_per_s = n_iters * batch / flat_elapsed
+    flat_imgs_per_s = best_of_3(
+        lambda: infer_jit(params, frames, cfg, decode_cfg),
+        lambda out: out.pose_scores)
 
     baseline = 250.0  # reference README.md:12 midpoint (forward-only, GPU)
     print(json.dumps({

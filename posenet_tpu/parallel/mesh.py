@@ -54,12 +54,15 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         # Explicitly-requested multi-process setup must not be swallowed.
         if coordinator_address is not None or num_processes not in (None, 1):
             raise
-        if 'before' in str(e).lower():
+        if isinstance(e, RuntimeError) and 'before' in str(e).lower():
             # The XLA backend was already initialized, so auto-detection
             # never ran — on a real pod every host would now silently
-            # train its own full copy. We cannot distinguish "plain
-            # single-process dev run" from "pod with a too-late call"
-            # offline, so degrade loudly instead of silently.
+            # train its own full copy. A plain single-process dev run with
+            # no pod env raises ValueError('coordinator_address should be
+            # defined') instead, so type+substring separates the two (the
+            # message wording is pinned by a subprocess regression test in
+            # tests/test_training.py so a jax upgrade surfaces a reword
+            # instead of silently disabling this warning).
             print('WARNING: initialize_distributed() was called after the '
                   'JAX backend was initialized; multi-host auto-detection '
                   'was skipped. If this is a multi-host job, call it before '

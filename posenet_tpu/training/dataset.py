@@ -30,7 +30,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from posenet_tpu.preprocess import read_imgfile
+from posenet_tpu.preprocess import read_imgfile, valid_resolution
 from posenet_tpu.training.ground_truth import (MAX_NUM_POSES,
                                                load_ground_truth_data, to_yx)
 
@@ -60,7 +60,6 @@ class PosenetDataset:
             # stride-valid grid). Everything downstream — the resize in
             # _load_u8 and the GT grid rescale below — derives from the
             # effective image_size, so targets stay aligned.
-            from posenet_tpu.preprocess import valid_resolution
             image_size = valid_resolution(image_size * scale_factor,
                                           image_size * scale_factor,
                                           output_stride)[0]

@@ -69,17 +69,22 @@ def save_checkpoint(ckpt_dir: str, state: ts.TrainState,
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(ckpt_dir, f'step_{int(state.step)}'))
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(state), force=True)
-    ckptr.wait_until_finished()
     if best_val_loss is not None:
         # Sidecar so a resumed run doesn't overwrite the on-disk best model
         # with a worse one at a higher step (best_val_loss would otherwise
-        # reset to inf across restarts). Written AFTER the checkpoint so a
-        # crash between the two leaves the stricter (older) bound.
+        # reset to inf across restarts). Written BEFORE the checkpoint:
+        # restore_checkpoint picks the latest step, so a crash between the
+        # two must leave the STRICTER bound — the new loss with no matching
+        # checkpoint means a resumed run refuses to save anything worse
+        # than the lost model, rather than letting a worse later step win
+        # the latest-step restore.
+        os.makedirs(ckpt_dir, exist_ok=True)
         with open(os.path.join(ckpt_dir, 'best.json'), 'w') as f:
             json.dump({'step': int(state.step),
                        'val_loss': float(best_val_loss)}, f)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
     return path
 
 
@@ -199,7 +204,7 @@ def dump_visual_diagnostics(params, batch, dataset: PosenetDataset,
         visualizers.draw_coordinates_to_image_file(
             image_path, os.path.join(item_dir, stem + '_keypoints.jpg'),
             pose_scores[b], kp_scores[b], kp_coords[b], scale,
-            min_pose_score=0.25, min_part_score=0.25)
+            min_pose_score=0.25, min_part_score=0.25, image=orig)
 
 
 def train(train_dataset: PosenetDataset,
@@ -248,9 +253,13 @@ def train(train_dataset: PosenetDataset,
     train_iter_kwargs = dict(drop_remainder=mesh is not None,
                              wrap_if_short=mesh is not None)
     if mesh is not None:
-        rem = (len(train_dataset) % train_cfg.batch_size
-               if len(train_dataset) >= train_cfg.batch_size else 0)
-        if rem:
+        if len(train_dataset) < train_cfg.batch_size:
+            print(f'note: mesh-sharded training wraps the '
+                  f'{len(train_dataset)}-image dataset to fill one '
+                  f'{train_cfg.batch_size}-image batch (samples repeat '
+                  f'within the batch every epoch)')
+        elif len(train_dataset) % train_cfg.batch_size:
+            rem = len(train_dataset) % train_cfg.batch_size
             print(f'note: mesh-sharded training drops the {rem}-image '
                   f'epoch remainder (batches must divide the mesh)')
 

@@ -14,8 +14,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-import posenet_tpu as posenet
 from posenet_tpu.constants import PARENT_CHILD_TUPLES
+from posenet_tpu.draw import draw_skel_and_kp
 
 
 def print_heatmap(heatmap: np.ndarray, output_dir: str = "./heatmap_dumps",
@@ -24,6 +24,15 @@ def print_heatmap(heatmap: np.ndarray, output_dir: str = "./heatmap_dumps",
     as an image (reference visualizers.py:13-40, with its undefined-name
     bugs fixed)."""
     import cv2
+
+    plt = None
+    if use_matplotlib:
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            plt = None  # fall through to the cv2 colormap path
 
     hm = np.asarray(heatmap)
     if hm.ndim == 3:
@@ -34,19 +43,14 @@ def print_heatmap(heatmap: np.ndarray, output_dir: str = "./heatmap_dumps",
         os.makedirs(d, exist_ok=True)
         for k in range(hm.shape[1]):
             channel = hm[b, k]
-            path = os.path.join(d, f"joint_{k}_heatmap.png")
-            if use_matplotlib:
-                try:
-                    import matplotlib
-                    matplotlib.use("Agg")
-                    import matplotlib.pyplot as plt
-                    plt.imshow(channel, cmap="hot", interpolation="nearest")
-                    plt.colorbar()
-                    plt.savefig(path)
-                    plt.clf()
-                    continue
-                except ImportError:
-                    pass
+            path = os.path.join(d, f"joint_{k}_{prefix}.png")
+            if plt is not None:
+                fig = plt.figure()
+                plt.imshow(channel, cmap="hot", interpolation="nearest")
+                plt.colorbar()
+                plt.savefig(path)
+                plt.close(fig)
+                continue
             lo, hi = float(channel.min()), float(channel.max())
             norm = (channel - lo) / (hi - lo) if hi > lo else channel * 0
             cv2.imwrite(path, cv2.applyColorMap(
@@ -57,19 +61,21 @@ def draw_coordinates_to_image_file(
         image_path: str, output_path: str,
         pose_scores: np.ndarray, keypoint_scores: np.ndarray,
         keypoint_coords: np.ndarray, output_scale,
-        min_pose_score: float = 0.25, min_part_score: float = 0.25):
+        min_pose_score: float = 0.25, min_part_score: float = 0.25,
+        image: Optional[np.ndarray] = None):
     """Re-read an image, scale decoded coords by `output_scale`, draw the
     skeleton overlay, and write it out (reference visualizers.py:43-133).
     The overlay is drawn on the full-resolution source read, so the output
-    is always at the image's original size."""
+    is always at the image's original size. Pass `image` (BGR array) to
+    skip the disk read when the caller already decoded the file."""
     import cv2
 
-    img = cv2.imread(image_path)
+    img = image if image is not None else cv2.imread(image_path)
     if img is None:
         raise IOError(f"could not read {image_path}")
 
     coords = np.asarray(keypoint_coords, dtype=np.float64) * np.asarray(output_scale)
-    overlay = posenet.draw_skel_and_kp(
+    overlay = draw_skel_and_kp(
         img, np.asarray(pose_scores), np.asarray(keypoint_scores), coords,
         min_pose_score=min_pose_score, min_part_score=min_part_score)
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)

@@ -216,6 +216,27 @@ def test_initialize_distributed_single_process():
                                num_processes=2, process_id=0)
 
 
+def test_initialize_distributed_late_call_warns(capsys):
+    """A too-late call (backend already initialized, no coordinator args)
+    must degrade LOUDLY: on a real pod, auto-detection silently skipped
+    means every host trains its own full copy. This also pins the jax
+    error wording the warning keys on ('before', RuntimeError) — if a jax
+    upgrade rewords it, this test fails instead of the warning silently
+    disabling itself."""
+    import jax
+    import pytest as _pytest
+
+    from posenet_tpu.parallel.mesh import initialize_distributed
+
+    _ = jax.devices()  # backend up -> auto-detection can no longer run
+    # Pin the upstream signal: type AND substring.
+    with _pytest.raises(RuntimeError, match='before'):
+        jax.distributed.initialize()
+    capsys.readouterr()
+    assert initialize_distributed() == 0
+    assert 'WARNING' in capsys.readouterr().out
+
+
 def test_initialize_distributed_already_initialized_old_jax(monkeypatch):
     """jax < 0.4.26 has no jax.distributed.is_initialized(); a repeat call
     on an already-initialized runtime surfaces as a RuntimeError from

@@ -278,6 +278,29 @@ def test_best_val_loss_persists_across_resume(tmp_path):
     assert _load_best_val_loss(str(tmp_path)) == 0.125
 
 
+def test_best_val_loss_written_before_checkpoint(tmp_path, monkeypatch):
+    """restore_checkpoint picks the LATEST step, so a crash inside
+    save_checkpoint must leave the stricter best.json bound already on
+    disk — otherwise a resumed run (stale looser bound) saves a worse
+    model at a higher step, which then wins the latest-step restore."""
+    import orbax.checkpoint as ocp
+    from posenet_tpu.training.trainer import _load_best_val_loss
+
+    cfg = ModelConfig(model_id=50, output_stride=16)
+    params = mobilenet_v1.init_params(jax.random.PRNGKey(0), cfg)
+    tcfg = TrainConfig(model_id=50, output_stride=16,
+                       checkpoint_dir=str(tmp_path))
+    state, _ = ts.init_train_state(params, tcfg)
+
+    def boom(self, *a, **k):
+        raise RuntimeError("simulated crash mid-save")
+
+    monkeypatch.setattr(ocp.StandardCheckpointer, "save", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        save_checkpoint(str(tmp_path), state, best_val_loss=0.25)
+    assert _load_best_val_loss(str(tmp_path)) == 0.25
+
+
 def test_train_remainder_not_dropped_unsharded(tmp_path):
     """Unsharded training keeps the last partial batch like the reference
     DataLoader (drop_last=False): 5 images at batch 2 -> 3 steps/epoch
