@@ -100,6 +100,31 @@ def test_export_rejects_bad_configs(small_model, tmp_path):
                               input_hw=(65, 65))
 
 
+def test_train_cli_exports_artifact(tmp_path, monkeypatch):
+    """train.py --export_artifact: full production loop — prepare GT,
+    fine-tune one epoch, export the best checkpoint as a serving artifact,
+    load it back, and decode a frame."""
+    from tests.test_trainer import make_synthetic_dataset
+
+    images, kpdir = make_synthetic_dataset(str(tmp_path), n_images=2)
+    art_path = str(tmp_path / "trained.posenet")
+    monkeypatch.setattr("sys.argv", [
+        "train.py", "--model", "50", "--output_stride", "16",
+        "--train_image_dir", images, "--test_image_dir", images,
+        "--keypoint_dir", kpdir, "--image_size", "65",
+        "--batch_size", "2", "--num_epochs", "1", "--no_pose_metrics",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--output_dir", str(tmp_path / "out"),
+        "--allow_random_init",
+        "--export_artifact", art_path, "--export_dtype", "float32"])
+    import train as train_cli
+    train_cli.main()
+    art = load_serving_artifact(art_path)
+    assert art.input_hw == (65, 65)
+    scores = np.asarray(art(np.zeros((1, 65, 65, 3), np.uint8)).pose_scores)
+    assert scores.shape == (1, 10) and np.isfinite(scores).all()
+
+
 def test_export_cli(tmp_path, monkeypatch):
     """posenet-export end to end on a random-init model (no egress)."""
     monkeypatch.chdir(tmp_path)  # keep ./_models writes out of the repo

@@ -52,6 +52,14 @@ def parse_args():
                              'overlays under --output_dir every N epochs '
                              '(0 = off; the reference dumps every step, '
                              'train.py:672-716)')
+    parser.add_argument('--export_artifact', type=str, default='',
+                        help='after training, export the best checkpoint '
+                             'as an AOT serving artifact (StableHLO with '
+                             'weights baked in — posenet_tpu/serving.py)')
+    parser.add_argument('--export_dtype', type=str, default='bfloat16',
+                        choices=['bfloat16', 'float32'],
+                        help='compute dtype baked into the exported '
+                             'artifact (bf16 is the TPU production default)')
     return parser.parse_args()
 
 
@@ -100,9 +108,37 @@ def main():
 
     mesh = mesh_lib.make_mesh(cfg.num_devices) if cfg.num_devices else None
     logger = MetricLogger(use_wandb=args.wandb)
-    train(train_ds, test_ds, cfg, logger=logger, mesh=mesh,
-          params=model.params,
-          eval_pose_metrics=not args.no_pose_metrics)
+    state = train(train_ds, test_ds, cfg, logger=logger, mesh=mesh,
+                  params=model.params,
+                  eval_pose_metrics=not args.no_pose_metrics)
+
+    if args.export_artifact:
+        import jax.numpy as jnp
+
+        from posenet_tpu.config import ModelConfig
+        from posenet_tpu.models.model_factory import PoseNet
+        from posenet_tpu.preprocess import valid_resolution
+        from posenet_tpu.serving import save_serving_artifact
+        from posenet_tpu.training import train_step as ts
+        from posenet_tpu.training.trainer import restore_checkpoint
+
+        # The BEST model is the latest saved checkpoint (train() saves only
+        # on eval improvement); the in-memory final state may be later and
+        # worse. Fall back to the final state if nothing was ever saved
+        # (e.g. no test split).
+        template, _ = ts.init_train_state(model.params, cfg)
+        best = restore_checkpoint(args.checkpoint_dir, template)
+        params = best.params if best is not None else state.params
+        export_cfg = ModelConfig(model_id=args.model,
+                                 output_stride=args.output_stride,
+                                 compute_dtype=jnp.dtype(args.export_dtype))
+        vw, vh = valid_resolution(args.image_size, args.image_size,
+                                  args.output_stride)
+        meta = save_serving_artifact(PoseNet(params, export_cfg),
+                                     args.export_artifact,
+                                     input_hw=(vh, vw))
+        print(f'exported serving artifact to {args.export_artifact} '
+              f'({meta["input_hw"]}, {meta["compute_dtype"]})')
 
 
 if __name__ == '__main__':
