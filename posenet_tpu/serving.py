@@ -73,8 +73,17 @@ def save_serving_artifact(
         decode_cfg: DecodeConfig = DecodeConfig(min_pose_score=0.25),
         batch_sizes: Sequence[int] = (1,),
         input_hw: Tuple[int, int] = (513, 513),
-        platforms: Sequence[str] = ("tpu", "cpu")) -> Dict:
+        platforms: Sequence[str] = ("tpu", "cpu"),
+        data_parallel_devices: Optional[int] = None) -> Dict:
     """Export `model`'s fused inference pipeline to a serving artifact.
+
+    With `data_parallel_devices=N`, programs are exported batch-sharded
+    over an N-device ('data',) mesh (params replicated; pose decode is
+    per-image so inference needs no cross-chip traffic) — the loader then
+    requires exactly N devices and shards the input itself. Export needs
+    N local devices too, but NOT the target platform: a CPU host with
+    `--xla_force_host_platform_device_count=N` can emit N-chip TPU
+    artifacts (lowering is cross-platform).
 
     Returns the metadata dict that was written to the artifact."""
     cfg = model.cfg
@@ -94,6 +103,22 @@ def save_serving_artifact(
 
     def fn(frames_u8):
         return _infer(params, frames_u8, cfg, decode_cfg)
+
+    data_sharding = None
+    if data_parallel_devices is not None:
+        n = int(data_parallel_devices)
+        bad = [b for b in batch_sizes if b % n]
+        if bad:
+            raise ValueError(
+                f"batch sizes {bad} do not divide "
+                f"data_parallel_devices={n}")
+        if len(jax.devices()) < n:
+            raise ValueError(
+                f"exporting a {n}-device program needs {n} local devices "
+                f"(found {len(jax.devices())}); on a CPU host set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n}")
+        from posenet_tpu.parallel import mesh as mesh_lib
+        data_sharding = mesh_lib.data_sharding(mesh_lib.make_mesh(n))
 
     meta = {
         "format_version": FORMAT_VERSION,
@@ -115,13 +140,16 @@ def save_serving_artifact(
         },
         "jax_version": jax.__version__,
         "outputs": list(DecodedPoses._fields),
+        "data_parallel_devices": data_parallel_devices,
     }
     with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("meta.json", json.dumps(meta, indent=2))
         for b in meta["batch_sizes"]:
-            spec = jax.ShapeDtypeStruct((b, *input_hw, 3), jnp.uint8)
-            exp = jax_export.export(jax.jit(fn),
-                                    platforms=list(platforms))(spec)
+            spec = jax.ShapeDtypeStruct((b, *input_hw, 3), jnp.uint8,
+                                        sharding=data_sharding)
+            jit_fn = (jax.jit(fn) if data_sharding is None else
+                      jax.jit(fn, in_shardings=(data_sharding,)))
+            exp = jax_export.export(jit_fn, platforms=list(platforms))(spec)
             zf.writestr(f"program_b{b}.stablehlo", exp.serialize())
     return meta
 
@@ -143,7 +171,9 @@ class ServingArtifact:
                 f"{FORMAT_VERSION}")
         self.batch_sizes = list(self.meta["batch_sizes"])
         self.input_hw = tuple(self.meta["input_hw"])
+        self.data_parallel_devices = self.meta.get("data_parallel_devices")
         self._programs: Dict[int, object] = {}
+        self._data_sharding = None
 
     def _program(self, batch: int):
         if batch not in self._programs:
@@ -164,8 +194,19 @@ class ServingArtifact:
             raise ValueError(
                 f"expected (B, {self.input_hw[0]}, {self.input_hw[1]}, 3) "
                 f"uint8 frames, got {frames.shape}")
-        return self._program(frames.shape[0]).call(
-            frames.astype(np.uint8, copy=False))
+        frames = frames.astype(np.uint8, copy=False)
+        if self.data_parallel_devices:
+            n = self.data_parallel_devices
+            if self._data_sharding is None:
+                if len(jax.devices()) < n:
+                    raise ValueError(
+                        f"artifact {self.path} was exported for {n} "
+                        f"devices; this host has {len(jax.devices())}")
+                from posenet_tpu.parallel import mesh as mesh_lib
+                self._data_sharding = mesh_lib.data_sharding(
+                    mesh_lib.make_mesh(n))
+            frames = jax.device_put(frames, self._data_sharding)
+        return self._program(frames.shape[0]).call(frames)
 
 
 def load_serving_artifact(path: str) -> ServingArtifact:
@@ -196,6 +237,9 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--min_pose_score", type=float, default=0.25)
     p.add_argument("--output", type=str, required=True,
                    help="artifact path (conventionally *.posenet)")
+    p.add_argument("--data_parallel_devices", type=int, default=None,
+                   help="export batch-sharded over an N-device data mesh "
+                        "(loader then requires exactly N devices)")
     p.add_argument("--random_init_ok", action="store_true",
                    help="export random weights if the checkpoint cannot be "
                         "downloaded (testing only)")
@@ -213,7 +257,8 @@ def main(argv: Optional[Sequence[str]] = None):
         decode_cfg=DecodeConfig(min_pose_score=args.min_pose_score),
         batch_sizes=[int(b) for b in args.batch_sizes.split(",")],
         input_hw=input_hw,
-        platforms=tuple(args.platforms.split(",")))
+        platforms=tuple(args.platforms.split(",")),
+        data_parallel_devices=args.data_parallel_devices)
     print(f"wrote {args.output}: model {meta['model_id']} "
           f"s{meta['output_stride']} {meta['input_hw']} "
           f"batches {meta['batch_sizes']} platforms {meta['platforms']}")

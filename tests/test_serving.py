@@ -90,6 +90,41 @@ def test_multiplatform_artifact_runs_on_cpu(small_model, tmp_path):
     assert scores.shape == (1, 10) and np.isfinite(scores).all()
 
 
+def test_data_parallel_artifact(small_model, tmp_path):
+    """DP-sharded artifact on the 8-virtual-device CPU mesh: batch sharded
+    over 4 devices, loader shards the plain numpy input itself, results
+    match the unsharded artifact (decode is per-image, so sharding must
+    not change anything beyond lowering ulps)."""
+    import jax as _jax
+    assert len(_jax.devices()) >= 4
+
+    dcfg = DecodeConfig(min_pose_score=0.0, score_threshold=0.25)
+    plain_path = str(tmp_path / "plain.posenet")
+    dp_path = str(tmp_path / "dp.posenet")
+    save_serving_artifact(small_model, plain_path, decode_cfg=dcfg,
+                          batch_sizes=(8,), input_hw=(65, 65),
+                          platforms=("cpu",))
+    meta = save_serving_artifact(small_model, dp_path, decode_cfg=dcfg,
+                                 batch_sizes=(8,), input_hw=(65, 65),
+                                 platforms=("cpu",),
+                                 data_parallel_devices=4)
+    assert meta["data_parallel_devices"] == 4
+
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 255, (8, 65, 65, 3)).astype(np.uint8)
+    ref = load_serving_artifact(plain_path)(frames)
+    out = load_serving_artifact(dp_path)(frames)
+    np.testing.assert_allclose(np.asarray(out.pose_scores),
+                               np.asarray(ref.pose_scores), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.keypoint_coords),
+                               np.asarray(ref.keypoint_coords), atol=1e-3)
+
+    with pytest.raises(ValueError, match="do not divide"):
+        save_serving_artifact(small_model, str(tmp_path / "x.posenet"),
+                              batch_sizes=(6,), input_hw=(65, 65),
+                              platforms=("cpu",), data_parallel_devices=4)
+
+
 def test_export_rejects_bad_configs(small_model, tmp_path):
     with pytest.raises(ValueError, match="stride-valid"):
         save_serving_artifact(small_model, str(tmp_path / "x.posenet"),
