@@ -48,7 +48,10 @@ from posenet_tpu.models import mobilenet_v1
 from posenet_tpu.models.model_factory import PoseNet
 from posenet_tpu.pipeline import _infer
 
-FORMAT_VERSION = 1
+# v1: single-device programs. v2: adds data_parallel_devices (loader must
+# understand it to shard the input, so v1 loaders reject v2 artifacts).
+FORMAT_VERSION = 2
+_READABLE_VERSIONS = (1, 2)
 
 # jax.export refuses unregistered pytree containers in the output tree; the
 # registration makes deserialized programs return real DecodedPoses.
@@ -57,6 +60,17 @@ try:
         DecodedPoses, serialized_name="posenet_tpu.decode.DecodedPoses")
 except ValueError:
     pass  # already registered (repeated import under test runners)
+
+
+def _dp_sharding(n: int, context: str):
+    """('data',)-mesh batch sharding over the first n local devices."""
+    if len(jax.devices()) < n:
+        raise ValueError(
+            f"{context} needs {n} local devices (found "
+            f"{len(jax.devices())}); on a CPU host set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n}")
+    from posenet_tpu.parallel import mesh as mesh_lib
+    return mesh_lib.data_sharding(mesh_lib.make_mesh(n))
 
 
 def _validate_input_hw(input_hw: Tuple[int, int], output_stride: int):
@@ -106,19 +120,15 @@ def save_serving_artifact(
 
     data_sharding = None
     if data_parallel_devices is not None:
-        n = int(data_parallel_devices)
+        n = data_parallel_devices = int(data_parallel_devices)
+        if n < 1:
+            raise ValueError(f"data_parallel_devices must be >= 1, got {n}")
         bad = [b for b in batch_sizes if b % n]
         if bad:
             raise ValueError(
-                f"batch sizes {bad} do not divide "
-                f"data_parallel_devices={n}")
-        if len(jax.devices()) < n:
-            raise ValueError(
-                f"exporting a {n}-device program needs {n} local devices "
-                f"(found {len(jax.devices())}); on a CPU host set "
-                f"XLA_FLAGS=--xla_force_host_platform_device_count={n}")
-        from posenet_tpu.parallel import mesh as mesh_lib
-        data_sharding = mesh_lib.data_sharding(mesh_lib.make_mesh(n))
+                f"data_parallel_devices={n} must divide every batch size; "
+                f"got {bad}")
+        data_sharding = _dp_sharding(n, f"exporting a {n}-device program")
 
     meta = {
         "format_version": FORMAT_VERSION,
@@ -164,11 +174,11 @@ class ServingArtifact:
         self.path = path
         with zipfile.ZipFile(path) as zf:
             self.meta = json.loads(zf.read("meta.json"))
-        if self.meta.get("format_version") != FORMAT_VERSION:
+        if self.meta.get("format_version") not in _READABLE_VERSIONS:
             raise ValueError(
                 f"artifact {path} has format_version "
                 f"{self.meta.get('format_version')}; this loader reads "
-                f"{FORMAT_VERSION}")
+                f"{_READABLE_VERSIONS}")
         self.batch_sizes = list(self.meta["batch_sizes"])
         self.input_hw = tuple(self.meta["input_hw"])
         self.data_parallel_devices = self.meta.get("data_parallel_devices")
@@ -195,18 +205,14 @@ class ServingArtifact:
                 f"expected (B, {self.input_hw[0]}, {self.input_hw[1]}, 3) "
                 f"uint8 frames, got {frames.shape}")
         frames = frames.astype(np.uint8, copy=False)
+        program = self._program(frames.shape[0])  # batch validated FIRST
         if self.data_parallel_devices:
-            n = self.data_parallel_devices
             if self._data_sharding is None:
-                if len(jax.devices()) < n:
-                    raise ValueError(
-                        f"artifact {self.path} was exported for {n} "
-                        f"devices; this host has {len(jax.devices())}")
-                from posenet_tpu.parallel import mesh as mesh_lib
-                self._data_sharding = mesh_lib.data_sharding(
-                    mesh_lib.make_mesh(n))
+                self._data_sharding = _dp_sharding(
+                    self.data_parallel_devices,
+                    f"artifact {self.path} (exported data-parallel)")
             frames = jax.device_put(frames, self._data_sharding)
-        return self._program(frames.shape[0]).call(frames)
+        return program.call(frames)
 
 
 def load_serving_artifact(path: str) -> ServingArtifact:

@@ -119,7 +119,12 @@ def test_data_parallel_artifact(small_model, tmp_path):
     np.testing.assert_allclose(np.asarray(out.keypoint_coords),
                                np.asarray(ref.keypoint_coords), atol=1e-3)
 
-    with pytest.raises(ValueError, match="do not divide"):
+    # a non-exported batch gets the actionable message, not a raw
+    # device_put sharding error
+    with pytest.raises(ValueError, match="no program for batch size 4"):
+        load_serving_artifact(dp_path)(np.zeros((4, 65, 65, 3), np.uint8))
+
+    with pytest.raises(ValueError, match="must divide every batch size"):
         save_serving_artifact(small_model, str(tmp_path / "x.posenet"),
                               batch_sizes=(6,), input_hw=(65, 65),
                               platforms=("cpu",), data_parallel_devices=4)
@@ -146,7 +151,11 @@ def test_train_cli_exports_artifact(tmp_path, monkeypatch):
     monkeypatch.setattr("sys.argv", [
         "train.py", "--model", "50", "--output_stride", "16",
         "--train_image_dir", images, "--test_image_dir", images,
-        "--keypoint_dir", kpdir, "--image_size", "65",
+        # 129 * scale_factor 0.5 -> effective stride-valid 65: the artifact
+        # must be exported at the resolution actually trained (regression:
+        # it was computed from the raw --image_size flag)
+        "--keypoint_dir", kpdir, "--image_size", "129",
+        "--scale_factor", "0.5",
         "--batch_size", "2", "--num_epochs", "1", "--no_pose_metrics",
         "--checkpoint_dir", str(tmp_path / "ckpt"),
         "--output_dir", str(tmp_path / "out"),

@@ -117,26 +117,28 @@ def main():
 
         from posenet_tpu.config import ModelConfig
         from posenet_tpu.models.model_factory import PoseNet
-        from posenet_tpu.preprocess import valid_resolution
         from posenet_tpu.serving import save_serving_artifact
         from posenet_tpu.training import train_step as ts
         from posenet_tpu.training.trainer import restore_checkpoint
 
-        # The BEST model is the latest saved checkpoint (train() saves only
-        # on eval improvement); the in-memory final state may be later and
-        # worse. Fall back to the final state if nothing was ever saved
-        # (e.g. no test split).
+        # The BEST model is the latest saved checkpoint: train() saves on
+        # eval improvement (or every epoch when there is no test split),
+        # so the in-memory final state may be later and worse. The final
+        # state is only a fallback for when nothing was ever written
+        # (num_epochs=0, unwritable checkpoint_dir).
         template, _ = ts.init_train_state(model.params, cfg)
         best = restore_checkpoint(args.checkpoint_dir, template)
         params = best.params if best is not None else state.params
         export_cfg = ModelConfig(model_id=args.model,
                                  output_stride=args.output_stride,
                                  compute_dtype=jnp.dtype(args.export_dtype))
-        vw, vh = valid_resolution(args.image_size, args.image_size,
-                                  args.output_stride)
+        # Serve at the resolution the model was actually fine-tuned at —
+        # the dataset's EFFECTIVE image_size (scale_factor applied, snapped
+        # stride-valid), not the raw --image_size flag.
+        size = train_ds.image_size
         meta = save_serving_artifact(PoseNet(params, export_cfg),
                                      args.export_artifact,
-                                     input_hw=(vh, vw))
+                                     input_hw=(size, size))
         print(f'exported serving artifact to {args.export_artifact} '
               f'({meta["input_hw"]}, {meta["compute_dtype"]})')
 
