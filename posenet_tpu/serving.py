@@ -246,14 +246,40 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--data_parallel_devices", type=int, default=None,
                    help="export batch-sharded over an N-device data mesh "
                         "(loader then requires exactly N devices)")
+    p.add_argument("--from_checkpoint", type=str, default="",
+                   help="orbax checkpoint dir written by train.py; export "
+                        "its latest (= best) step instead of the "
+                        "downloaded tfjs weights. --model/--output_stride "
+                        "must match the training run")
     p.add_argument("--random_init_ok", action="store_true",
                    help="export random weights if the checkpoint cannot be "
                         "downloaded (testing only)")
     args = p.parse_args(argv)
 
-    model = load_model(args.model, args.output_stride,
-                       compute_dtype=jnp.dtype(args.compute_dtype),
-                       allow_random_init=args.random_init_ok)
+    export_cfg = ModelConfig(model_id=args.model,
+                             output_stride=args.output_stride,
+                             compute_dtype=jnp.dtype(args.compute_dtype))
+    if args.from_checkpoint:
+        from posenet_tpu.config import TrainConfig
+        from posenet_tpu.training import train_step as ts
+        from posenet_tpu.training.trainer import restore_checkpoint
+
+        # train.py always trains with TrainConfig's optimizer defaults
+        # (heads_only adam), so a default-config template matches any of
+        # its checkpoints' state pytrees.
+        init = mobilenet_v1.init_params(jax.random.PRNGKey(0), export_cfg)
+        template, _ = ts.init_train_state(
+            init, TrainConfig(model_id=args.model,
+                              output_stride=args.output_stride))
+        restored = restore_checkpoint(args.from_checkpoint, template)
+        if restored is None:
+            raise SystemExit(
+                f"no checkpoint found in {args.from_checkpoint}")
+        model = PoseNet(restored.params, export_cfg)
+    else:
+        model = load_model(args.model, args.output_stride,
+                           compute_dtype=jnp.dtype(args.compute_dtype),
+                           allow_random_init=args.random_init_ok)
     # valid_resolution takes (width, height) and returns (w, h)
     vw, vh = valid_resolution(args.size[1], args.size[0],
                               args.output_stride)

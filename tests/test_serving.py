@@ -169,6 +169,41 @@ def test_train_cli_exports_artifact(tmp_path, monkeypatch):
     assert scores.shape == (1, 10) and np.isfinite(scores).all()
 
 
+def test_export_cli_from_checkpoint(small_model, tmp_path):
+    """posenet-export --from_checkpoint: export a trained orbax checkpoint
+    without re-running train.py; the artifact must carry the checkpoint's
+    weights (different output from a fresh random init)."""
+    from posenet_tpu.config import TrainConfig
+    from posenet_tpu.training import train_step as ts
+    from posenet_tpu.training.trainer import save_checkpoint
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    tcfg = TrainConfig(model_id=50, output_stride=16,
+                       checkpoint_dir=ckpt_dir)
+    state, _ = ts.init_train_state(small_model.params, tcfg)
+    save_checkpoint(ckpt_dir, state)
+
+    out = str(tmp_path / "ckpt.posenet")
+    main(["--model", "50", "--output_stride", "16", "--size", "65", "65",
+          "--platforms", "cpu", "--compute_dtype", "float32",
+          "--from_checkpoint", ckpt_dir, "--output", out])
+    art = load_serving_artifact(out)
+    frames = np.random.default_rng(7).integers(
+        0, 255, (1, 65, 65, 3)).astype(np.uint8)
+    got = np.asarray(art(frames).keypoint_coords)
+
+    # direct pipeline on the checkpointed params agrees
+    ref = _infer(small_model.params, jnp.asarray(frames), small_model.cfg,
+                 DecodeConfig(min_pose_score=0.25, use_pallas=False))
+    np.testing.assert_allclose(got, np.asarray(ref.keypoint_coords),
+                               atol=1e-3)
+
+    with pytest.raises(SystemExit, match="no checkpoint"):
+        main(["--model", "50", "--size", "65", "65", "--platforms", "cpu",
+              "--from_checkpoint", str(tmp_path / "empty"),
+              "--output", out])
+
+
 def test_export_cli(tmp_path, monkeypatch):
     """posenet-export end to end on a random-init model (no egress)."""
     monkeypatch.chdir(tmp_path)  # keep ./_models writes out of the repo
