@@ -21,12 +21,39 @@ extra.
 
 import functools
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
+def _probe_backend(timeout_s: float = 240.0):
+    """Fail fast if the TPU tunnel is down.
+
+    On the axon platform a dead tunnel makes backend init hang ~20 min
+    before raising UNAVAILABLE (CLAUDE.md). Probe device discovery in a
+    throwaway subprocess under a timeout so a down tunnel costs minutes,
+    not the driver's patience. The probe exits before the main process
+    touches the backend, so the chip is never held twice."""
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except subprocess.TimeoutExpired:
+        print(f"bench.py: backend probe hung >{timeout_s:.0f}s — the TPU "
+              "tunnel is down; aborting instead of hanging",
+              file=sys.stderr)
+        sys.exit(2)
+    except subprocess.CalledProcessError as e:
+        print(f"bench.py: backend probe failed (exit {e.returncode}); "
+              "aborting", file=sys.stderr)
+        sys.exit(2)
+
+
 def main():
+    _probe_backend()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
