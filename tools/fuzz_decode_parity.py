@@ -83,9 +83,15 @@ def run_case(seed: int) -> str:
             return (f"pose scores diverge "
                     f"(max {np.abs(ours[0][:n_ref]-ref_ps[:n_ref]).max():.3g})"
                     f" [{ctx}]")
+        dks = np.abs(ours[1][:n_ref] - np.asarray(ref[1])[:n_ref]).max()
+        if dks > 1e-5:
+            return f"keypoint scores diverge (max {dks:.3g}) [{ctx}]"
         dc = np.abs(ours[2][:n_ref] - np.asarray(ref[2])[:n_ref]).max()
         if dc > 1e-3:
             return f"coords diverge (max {dc:.3g} px) [{ctx}]"
+        do = np.abs(ours[3][:n_ref] - np.asarray(ref[3])[:n_ref]).max()
+        if do > 1e-3:
+            return f"pose offsets diverge (max {do:.3g}) [{ctx}]"
     return ""
 
 
