@@ -103,7 +103,14 @@ def main():
     args = p.parse_args()
 
     fails = 0
-    for i in range(args.start, args.start + args.count):
+    for n, i in enumerate(range(args.start, args.start + args.count)):
+        # Nearly every case compiles fresh program shapes; holding hundreds
+        # of XLA:CPU executables live eventually makes LLVM's JIT fail with
+        # 'Cannot allocate memory' then segfault (seen at ~85 cases on the
+        # dev box). Cases are independent, so drop the compiled-program
+        # cache periodically and eat the recompiles.
+        if n and n % 10 == 0:
+            jax.clear_caches()
         msg = run_case(args.seed_base + i * 17)
         if msg:
             fails += 1
