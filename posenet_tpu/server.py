@@ -1,0 +1,295 @@
+"""`posenet-serve`: a minimal production serving frontend over an AOT
+artifact (posenet_tpu/serving.py).
+
+The reference has no serving story at all — deployment means shipping
+Python+torch+.pth and writing your own loop (reference
+posenet/models/model_factory.py:11-23 is the whole story). The TPU-native
+path pairs the compiled StableHLO artifact with this stdlib HTTP frontend:
+
+    posenet-export --model 101 --batch_sizes 1,8 --output m101.posenet
+    posenet-serve --artifact m101.posenet --port 8080
+    curl -s --data-binary @photo.jpg localhost:8080/v1/decode | jq .
+
+Design:
+- **One worker thread owns the device.** HTTP handler threads enqueue
+  (frame, reply-slot) pairs; the worker drains the queue and dispatches.
+  XLA programs are not re-entrant-safe to call from many threads, and a
+  single chip serializes execution anyway — a lock-free handoff queue is
+  the whole scheduler.
+- **Request coalescing**: the artifact carries one program per exported
+  batch size. The worker groups whatever is queued into the largest
+  exported batch that is <= pending count (repeatedly), and pads the
+  remainder up to the smallest exported batch that covers it (padding
+  rows are zero frames whose results are dropped). Under load this rides
+  the big-batch program (5497 img/s at b128 vs ~35 req/s at b1 on v5e —
+  batching IS the serving throughput story on TPU).
+- **Host does images, device does math**: JPEG/PNG decode + resize to the
+  artifact's input resolution stay on the request thread (cv2); only
+  uint8 frames cross into the worker. Coordinates are scaled back to the
+  source resolution before replying, same contract as the reference's
+  `keypoint_coords *= output_scale` (reference image_demo.py:50).
+
+Endpoints:
+    GET  /healthz      -> {"ok": true, "artifact": <meta>}
+    POST /v1/decode    -> body: JPEG/PNG bytes (or raw
+                          `application/x-posenet-frame` uint8 RGB at the
+                          artifact resolution, zero-copy path)
+                          reply: {"poses": [{"score", "keypoints":
+                          [{"part", "y", "x", "score"}]}], "source_hw"}
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from posenet_tpu.constants import PART_NAMES
+
+_RAW_CONTENT_TYPE = "application/x-posenet-frame"
+
+
+class _Request:
+    """One enqueued frame and its reply slot."""
+
+    __slots__ = ("frame", "scale_yx", "event", "result", "error")
+
+    def __init__(self, frame: np.ndarray, scale_yx: Tuple[float, float]):
+        self.frame = frame
+        self.scale_yx = scale_yx
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[str] = None
+
+
+class PoseServer:
+    """Serving loop: artifact + coalescing worker + HTTP frontend."""
+
+    def __init__(self, artifact, *, min_part_score: float = 0.0,
+                 batch_wait_ms: float = 2.0, queue_depth: int = 256):
+        self.artifact = artifact
+        self.input_hw = tuple(artifact.input_hw)
+        self.batch_sizes = sorted(artifact.batch_sizes)
+        self.min_part_score = float(min_part_score)
+        self.batch_wait_s = batch_wait_ms / 1000.0
+        self._queue: "queue.Queue[_Request]" = queue.Queue(queue_depth)
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._worker_loop,
+                                        name="posenet-device-worker",
+                                        daemon=True)
+        self._worker.start()
+
+    # ---- device worker ----
+
+    def _drain(self) -> List[_Request]:
+        """Block for one request, then coalesce whatever else arrives
+        within the batching window (bounded by the largest program)."""
+        first = self._queue.get()
+        if first is None:  # shutdown sentinel
+            return []
+        batch = [first]
+        while len(batch) < self.batch_sizes[-1]:
+            try:
+                # batch_wait_ms=0 disables coalescing beyond what is
+                # already queued; otherwise each arrival extends the
+                # window by one batch_wait_s.
+                nxt = (self._queue.get_nowait() if self.batch_wait_s == 0
+                       else self._queue.get(timeout=self.batch_wait_s))
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._stop.set()
+                break
+            batch.append(nxt)
+        return batch
+
+    def _program_batch(self, n: int) -> int:
+        """Smallest exported batch size that covers n pending frames."""
+        for b in self.batch_sizes:
+            if b >= n:
+                return b
+        return self.batch_sizes[-1]
+
+    def _worker_loop(self):
+        while not self._stop.is_set():
+            pending = self._drain()
+            if not pending:
+                if self._stop.is_set() or self._queue.empty():
+                    return
+                continue
+            # Largest exported batch repeatedly, remainder padded up.
+            while pending:
+                b = self._program_batch(len(pending))
+                chunk, pending = pending[:b], pending[b:]
+                self._run_chunk(chunk, b)
+
+    def _run_chunk(self, chunk: List[_Request], batch_size: int):
+        frames = np.zeros((batch_size, *self.input_hw, 3), np.uint8)
+        for i, req in enumerate(chunk):
+            frames[i] = req.frame
+        try:
+            out = self.artifact(frames)
+            # One host fetch for the whole chunk (the tunnel RTT is per
+            # fetch, not per image).
+            pose_scores = np.asarray(out.pose_scores)
+            kp_scores = np.asarray(out.keypoint_scores)
+            kp_coords = np.asarray(out.keypoint_coords)
+        except Exception as e:  # propagate to every caller in the chunk
+            for req in chunk:
+                req.error = f"{type(e).__name__}: {e}"
+                req.event.set()
+            return
+        for i, req in enumerate(chunk):
+            req.result = self._poses_json(
+                pose_scores[i], kp_scores[i], kp_coords[i], req.scale_yx)
+            req.event.set()
+
+    def _poses_json(self, pose_scores, kp_scores, kp_coords, scale_yx):
+        poses = []
+        for p in range(pose_scores.shape[0]):
+            if pose_scores[p] <= 0:
+                continue
+            kps = [{"part": PART_NAMES[k],
+                    "y": float(kp_coords[p, k, 0] * scale_yx[0]),
+                    "x": float(kp_coords[p, k, 1] * scale_yx[1]),
+                    "score": float(kp_scores[p, k])}
+                   for k in range(kp_scores.shape[1])
+                   if kp_scores[p, k] >= self.min_part_score]
+            poses.append({"score": float(pose_scores[p]), "keypoints": kps})
+        return poses
+
+    # ---- request-thread API ----
+
+    def decode_frame(self, frame: np.ndarray,
+                     scale_yx: Tuple[float, float] = (1.0, 1.0),
+                     timeout_s: float = 120.0):
+        """Enqueue one preprocessed (H, W, 3) uint8 RGB frame; block for
+        the decoded poses. Thread-safe."""
+        if frame.shape != (*self.input_hw, 3) or frame.dtype != np.uint8:
+            raise ValueError(
+                f"frame must be uint8 {(*self.input_hw, 3)}, got "
+                f"{frame.dtype} {frame.shape}")
+        req = _Request(frame, scale_yx)
+        self._queue.put(req, timeout=5.0)
+        if not req.event.wait(timeout_s):
+            raise TimeoutError("decode timed out")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        return req.result
+
+    def decode_image_bytes(self, data: bytes, content_type: str = ""):
+        """Decode an encoded image (JPEG/PNG) or a raw frame; returns
+        (poses, source_hw)."""
+        th, tw = self.input_hw
+        if content_type == _RAW_CONTENT_TYPE:
+            frame = np.frombuffer(data, np.uint8)
+            if frame.size != th * tw * 3:
+                raise ValueError(
+                    f"raw frame must be {th}x{tw}x3={th * tw * 3} bytes, "
+                    f"got {frame.size}")
+            return self.decode_frame(frame.reshape(th, tw, 3)), [th, tw]
+        import cv2
+        bgr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise ValueError("could not decode image bytes (JPEG/PNG?)")
+        sh, sw = bgr.shape[:2]
+        resized = cv2.resize(bgr, (tw, th), interpolation=cv2.INTER_LINEAR)
+        frame = np.ascontiguousarray(resized[..., ::-1])  # BGR -> RGB
+        poses = self.decode_frame(frame, scale_yx=(sh / th, sw / tw))
+        return poses, [sh, sw]
+
+    def close(self):
+        self._stop.set()
+        try:
+            self._queue.put_nowait(None)
+        except queue.Full:
+            pass
+        self._worker.join(timeout=10.0)
+
+
+def make_http_server(pose_server: PoseServer, host: str = "127.0.0.1",
+                     port: int = 0) -> ThreadingHTTPServer:
+    """Bind the HTTP frontend (serve_forever is the caller's loop)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True,
+                                  "artifact": pose_server.artifact.meta})
+            else:
+                self._reply(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/v1/decode":
+                self._reply(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                if n <= 0:
+                    raise ValueError("empty body (send image bytes)")
+                data = self.rfile.read(n)
+                poses, source_hw = pose_server.decode_image_bytes(
+                    data, self.headers.get("Content-Type", ""))
+                self._reply(200, {"poses": poses, "source_hw": source_hw})
+            except (ValueError, TimeoutError) as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, *a):  # quiet-by-default, like the rest
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv: Optional[Sequence[str]] = None):
+    import argparse
+
+    from posenet_tpu.serving import load_serving_artifact
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--artifact", required=True,
+                   help="*.posenet artifact from posenet-export")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--min_part_score", type=float, default=0.0)
+    p.add_argument("--batch_wait_ms", type=float, default=2.0,
+                   help="coalescing window after the first queued request")
+    args = p.parse_args(argv)
+
+    artifact = load_serving_artifact(args.artifact)
+    pose_server = PoseServer(artifact,
+                             min_part_score=args.min_part_score,
+                             batch_wait_ms=args.batch_wait_ms)
+    # Warm the device program for the most common size before accepting
+    # traffic (first jax compile can take tens of seconds on TPU).
+    pose_server.decode_frame(
+        np.zeros((*pose_server.input_hw, 3), np.uint8))
+    httpd = make_http_server(pose_server, args.host, args.port)
+    print(f"posenet-serve: {args.host}:{httpd.server_address[1]} "
+          f"artifact={args.artifact} batches={pose_server.batch_sizes}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+        pose_server.close()
+
+
+if __name__ == "__main__":
+    main()

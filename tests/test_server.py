@@ -1,0 +1,159 @@
+"""posenet-serve tests: HTTP frontend + coalescing device worker over a
+tiny CPU artifact (posenet_tpu/server.py). No reference counterpart — the
+reference has no serving story (SURVEY.md §2.2)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from posenet_tpu.config import DecodeConfig, ModelConfig
+from posenet_tpu.models import mobilenet_v1
+from posenet_tpu.models.model_factory import PoseNet
+from posenet_tpu.server import PoseServer, make_http_server
+from posenet_tpu.serving import load_serving_artifact, save_serving_artifact
+
+HW = (65, 65)
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    cfg = ModelConfig(model_id=50, output_stride=16)
+    params = mobilenet_v1.init_params(jax.random.PRNGKey(11), cfg)
+    path = str(tmp_path_factory.mktemp("srv") / "m50.posenet")
+    save_serving_artifact(
+        PoseNet(params, cfg), path,
+        decode_cfg=DecodeConfig(min_pose_score=0.0, score_threshold=0.25),
+        batch_sizes=(1, 4), input_hw=HW, platforms=("cpu",))
+    return load_serving_artifact(path)
+
+
+@pytest.fixture(scope="module")
+def server(artifact):
+    srv = PoseServer(artifact, batch_wait_ms=2.0)
+    yield srv
+    srv.close()
+
+
+@pytest.fixture(scope="module")
+def http_base(server):
+    httpd = make_http_server(server, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def _frames(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, (n, *HW, 3)).astype(np.uint8)
+
+
+def test_decode_frame_matches_artifact(server, artifact):
+    frame = _frames(1)[0]
+    poses = server.decode_frame(frame)
+    out = artifact(frame[None])
+    ps = np.asarray(out.pose_scores)[0]
+    assert len(poses) == int((ps > 0).sum())
+    if poses:
+        assert poses[0]["score"] == pytest.approx(float(ps[0]), abs=1e-6)
+        assert {"part", "y", "x", "score"} <= set(poses[0]["keypoints"][0])
+
+
+def test_concurrent_requests_coalesce_and_match(server, artifact):
+    """8 concurrent clients over exported batches {1,4}: every caller gets
+    the same poses the b4/b1 programs produce for its own frame."""
+    frames = _frames(8, seed=3)
+    results = [None] * 8
+
+    def call(i):
+        results[i] = server.decode_frame(frames[i])
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    ref = artifact(frames[:4]), artifact(frames[4:])
+    for i in range(8):
+        ps = np.asarray(ref[i // 4].pose_scores)[i % 4]
+        assert results[i] is not None
+        assert len(results[i]) == int((ps > 0).sum()), f"client {i}"
+        if results[i]:
+            assert results[i][0]["score"] == pytest.approx(
+                float(ps[0]), abs=1e-5)
+
+
+def test_scale_yx_applied(server):
+    frame = _frames(1, seed=5)[0]
+    base = server.decode_frame(frame)
+    scaled = server.decode_frame(frame, scale_yx=(2.0, 3.0))
+    for p0, p1 in zip(base, scaled):
+        for k0, k1 in zip(p0["keypoints"], p1["keypoints"]):
+            assert k1["y"] == pytest.approx(2.0 * k0["y"], rel=1e-6)
+            assert k1["x"] == pytest.approx(3.0 * k0["x"], rel=1e-6)
+
+
+def test_decode_frame_validates_shape(server):
+    with pytest.raises(ValueError, match="uint8"):
+        server.decode_frame(np.zeros((3, 3, 3), np.uint8))
+
+
+def test_http_healthz_and_raw_frame(http_base, server, artifact):
+    with urllib.request.urlopen(http_base + "/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health["ok"] and health["artifact"]["model_id"] == 50
+
+    frame = _frames(1, seed=7)[0]
+    req = urllib.request.Request(
+        http_base + "/v1/decode", data=frame.tobytes(),
+        headers={"Content-Type": "application/x-posenet-frame"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        body = json.loads(r.read())
+    assert body["source_hw"] == list(HW)
+    ps = np.asarray(artifact(frame[None]).pose_scores)[0]
+    assert len(body["poses"]) == int((ps > 0).sum())
+
+
+def test_http_jpeg_roundtrip_scales_to_source(http_base):
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 255, (130, 260, 3)).astype(np.uint8)  # 2x, 4x HW
+    ok, enc = cv2.imencode(".png", src)  # png: exact pixels through codec
+    assert ok
+    req = urllib.request.Request(http_base + "/v1/decode",
+                                 data=enc.tobytes(),
+                                 headers={"Content-Type": "image/png"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        body = json.loads(r.read())
+    assert body["source_hw"] == [130, 260]
+    for pose in body["poses"]:
+        for kp in pose["keypoints"]:
+            assert -1 <= kp["y"] <= 131 and -1 <= kp["x"] <= 262
+
+
+def test_http_errors(http_base):
+    # bad route
+    req = urllib.request.Request(http_base + "/v1/nope", data=b"x")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 404
+    # undecodable image body
+    req = urllib.request.Request(http_base + "/v1/decode",
+                                 data=b"not an image")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    # wrong-size raw frame
+    req = urllib.request.Request(
+        http_base + "/v1/decode", data=b"\0" * 17,
+        headers={"Content-Type": "application/x-posenet-frame"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
