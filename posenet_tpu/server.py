@@ -31,6 +31,8 @@ Design:
 
 Endpoints:
     GET  /healthz      -> {"ok": true, "artifact": <meta>}
+    GET  /statsz       -> request/error counts, batch-size histogram,
+                          device time (coalescing effectiveness)
     POST /v1/decode    -> body: JPEG/PNG bytes (or raw
                           `application/x-posenet-frame` uint8 RGB at the
                           artifact resolution, zero-copy path)
@@ -76,6 +78,11 @@ class PoseServer:
         self.batch_sizes = sorted(artifact.batch_sizes)
         self.min_part_score = float(min_part_score)
         self.batch_wait_s = batch_wait_ms / 1000.0
+        # /statsz counters; worker-thread writes, reader copies (GIL-atomic
+        # int/float updates, no lock needed).
+        self.stats = {"requests_done": 0, "errors": 0,
+                      "batches_by_size": {b: 0 for b in self.batch_sizes},
+                      "device_ms_total": 0.0, "device_ms_last": 0.0}
         self._queue: "queue.Queue[_Request]" = queue.Queue(queue_depth)
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._worker_loop,
@@ -128,9 +135,12 @@ class PoseServer:
                 self._run_chunk(chunk, b)
 
     def _run_chunk(self, chunk: List[_Request], batch_size: int):
+        import time
+
         frames = np.zeros((batch_size, *self.input_hw, 3), np.uint8)
         for i, req in enumerate(chunk):
             frames[i] = req.frame
+        t0 = time.perf_counter()
         try:
             out = self.artifact(frames)
             # One host fetch for the whole chunk (the tunnel RTT is per
@@ -139,10 +149,16 @@ class PoseServer:
             kp_scores = np.asarray(out.keypoint_scores)
             kp_coords = np.asarray(out.keypoint_coords)
         except Exception as e:  # propagate to every caller in the chunk
+            self.stats["errors"] += len(chunk)
             for req in chunk:
                 req.error = f"{type(e).__name__}: {e}"
                 req.event.set()
             return
+        ms = (time.perf_counter() - t0) * 1000.0
+        self.stats["batches_by_size"][batch_size] += 1
+        self.stats["device_ms_total"] += ms
+        self.stats["device_ms_last"] = ms
+        self.stats["requests_done"] += len(chunk)
         for i, req in enumerate(chunk):
             req.result = self._poses_json(
                 pose_scores[i], kp_scores[i], kp_coords[i], req.scale_yx)
@@ -230,6 +246,11 @@ def make_http_server(pose_server: PoseServer, host: str = "127.0.0.1",
             if self.path == "/healthz":
                 self._reply(200, {"ok": True,
                                   "artifact": pose_server.artifact.meta})
+            elif self.path == "/statsz":
+                s = dict(pose_server.stats)
+                s["batches_by_size"] = {
+                    str(k): v for k, v in s["batches_by_size"].items()}
+                self._reply(200, s)
             else:
                 self._reply(404, {"error": f"no route {self.path}"})
 

@@ -138,6 +138,17 @@ def test_http_jpeg_roundtrip_scales_to_source(http_base):
             assert -1 <= kp["y"] <= 131 and -1 <= kp["x"] <= 262
 
 
+def test_statsz_counts_batches(http_base, server):
+    before = json.loads(urllib.request.urlopen(
+        http_base + "/statsz", timeout=30).read())
+    server.decode_frame(_frames(1, seed=13)[0])
+    after = json.loads(urllib.request.urlopen(
+        http_base + "/statsz", timeout=30).read())
+    assert after["requests_done"] == before["requests_done"] + 1
+    assert after["batches_by_size"]["1"] == before["batches_by_size"]["1"] + 1
+    assert after["device_ms_last"] > 0
+
+
 def test_http_errors(http_base):
     # bad route
     req = urllib.request.Request(http_base + "/v1/nope", data=b"x")
