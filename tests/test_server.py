@@ -138,6 +138,42 @@ def test_http_jpeg_roundtrip_scales_to_source(http_base):
             assert -1 <= kp["y"] <= 131 and -1 <= kp["x"] <= 262
 
 
+def test_server_over_data_parallel_artifact(tmp_path):
+    """The full multi-chip serving story: a batch-sharded (4-device) DP
+    artifact behind the coalescing server. 3 concurrent clients pad up to
+    the b4 program; each gets the poses the artifact produces alone."""
+    assert len(jax.devices()) >= 4
+    cfg = ModelConfig(model_id=50, output_stride=16)
+    params = mobilenet_v1.init_params(jax.random.PRNGKey(21), cfg)
+    path = str(tmp_path / "dp.posenet")
+    save_serving_artifact(
+        PoseNet(params, cfg), path,
+        decode_cfg=DecodeConfig(min_pose_score=0.0, score_threshold=0.25),
+        batch_sizes=(4,), input_hw=HW, platforms=("cpu",),
+        data_parallel_devices=4)
+    artifact = load_serving_artifact(path)
+    srv = PoseServer(artifact, batch_wait_ms=20.0)
+    try:
+        frames = _frames(3, seed=17)
+        results = [None] * 3
+        threads = [threading.Thread(
+            target=lambda i=i: results.__setitem__(
+                i, srv.decode_frame(frames[i]))) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        padded = np.zeros((4, *HW, 3), np.uint8)
+        padded[:3] = frames
+        ps = np.asarray(artifact(padded).pose_scores)
+        for i in range(3):
+            assert results[i] is not None, f"client {i} timed out"
+            assert len(results[i]) == int((ps[i] > 0).sum())
+        assert srv.stats["batches_by_size"][4] >= 1
+    finally:
+        srv.close()
+
+
 def test_statsz_counts_batches(http_base, server):
     before = json.loads(urllib.request.urlopen(
         http_base + "/statsz", timeout=30).read())
