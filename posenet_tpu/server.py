@@ -197,6 +197,14 @@ class PoseServer:
             raise RuntimeError(req.error)
         return req.result
 
+    def warmup(self):
+        """Compile/execute every exported batch-size program once, so no
+        request ever pays a first-call compile. Called before the HTTP
+        frontend binds (the worker is idle, so the direct artifact calls
+        cannot race it)."""
+        for b in self.batch_sizes:
+            self.artifact(np.zeros((b, *self.input_hw, 3), np.uint8))
+
     def decode_image_bytes(self, data: bytes, content_type: str = ""):
         """Decode an encoded image (JPEG/PNG) or a raw frame; returns
         (poses, source_hw)."""
@@ -296,10 +304,12 @@ def main(argv: Optional[Sequence[str]] = None):
     pose_server = PoseServer(artifact,
                              min_part_score=args.min_part_score,
                              batch_wait_ms=args.batch_wait_ms)
-    # Warm the device program for the most common size before accepting
-    # traffic (first jax compile can take tens of seconds on TPU).
-    pose_server.decode_frame(
-        np.zeros((*pose_server.input_hw, 3), np.uint8))
+    # Warm every exported batch-size program before accepting traffic
+    # (a first jax compile can take tens of seconds; measured: a cold b4
+    # program cost the first coalesced batch 21 s).
+    print("posenet-serve: warming programs for batches "
+          f"{pose_server.batch_sizes} ...")
+    pose_server.warmup()
     httpd = make_http_server(pose_server, args.host, args.port)
     print(f"posenet-serve: {args.host}:{httpd.server_address[1]} "
           f"artifact={args.artifact} batches={pose_server.batch_sizes}")

@@ -149,6 +149,7 @@ def save_serving_artifact(
             "two_stage_topk": decode_cfg.two_stage_topk,
         },
         "jax_version": jax.__version__,
+        "framework_version": __import__("posenet_tpu").__version__,
         "outputs": list(DecodedPoses._fields),
         "data_parallel_devices": data_parallel_devices,
     }
