@@ -270,13 +270,20 @@ def make_http_server(pose_server: PoseServer, host: str = "127.0.0.1",
                 n = int(self.headers.get("Content-Length", 0))
                 if n <= 0:
                     raise ValueError("empty body (send image bytes)")
+                if n > 64 << 20:
+                    raise ValueError(
+                        f"body too large ({n} bytes; limit 64 MiB)")
                 data = self.rfile.read(n)
                 poses, source_hw = pose_server.decode_image_bytes(
                     data, self.headers.get("Content-Type", ""))
                 self._reply(200, {"poses": poses, "source_hw": source_hw})
             except (ValueError, TimeoutError) as e:
+                # the body may not have been consumed (e.g. oversized):
+                # close instead of letting keep-alive desync on it
+                self.close_connection = True
                 self._reply(400, {"error": str(e)})
             except Exception as e:
+                self.close_connection = True
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
         def log_message(self, *a):  # quiet-by-default, like the rest

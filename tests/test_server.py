@@ -197,6 +197,13 @@ def test_http_errors(http_base):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
+    # oversized body rejected before it is read
+    req = urllib.request.Request(http_base + "/v1/decode", data=b"x",
+                                 headers={"Content-Length":
+                                          str(100 << 20)})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
     # wrong-size raw frame
     req = urllib.request.Request(
         http_base + "/v1/decode", data=b"\0" * 17,
