@@ -320,6 +320,15 @@ def main(argv: Optional[Sequence[str]] = None):
     httpd = make_http_server(pose_server, args.host, args.port)
     print(f"posenet-serve: {args.host}:{httpd.server_address[1]} "
           f"artifact={args.artifact} batches={pose_server.batch_sizes}")
+
+    # Graceful SIGTERM (the container-orchestrator stop signal): finish
+    # in-flight batches, refuse new connections, exit 0.
+    import signal
+
+    def _term(signum, frame):
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -206,6 +206,12 @@ class ServingArtifact:
                 f"expected (B, {self.input_hw[0]}, {self.input_hw[1]}, 3) "
                 f"uint8 frames, got {frames.shape}")
         frames = frames.astype(np.uint8, copy=False)
+        backend = jax.default_backend()
+        if backend not in self.meta["platforms"]:
+            raise ValueError(
+                f"artifact {self.path} was exported for platforms "
+                f"{self.meta['platforms']} but the current backend is "
+                f"'{backend}'; re-export with --platforms including it")
         program = self._program(frames.shape[0])  # batch validated FIRST
         if self.data_parallel_devices:
             if self._data_sharding is None:

@@ -130,6 +130,17 @@ def test_data_parallel_artifact(small_model, tmp_path):
                               platforms=("cpu",), data_parallel_devices=4)
 
 
+def test_platform_mismatch_is_actionable(small_model, tmp_path):
+    """Calling a tpu-only artifact on the CPU backend names both sides
+    instead of surfacing a raw jax.export lowering error."""
+    path = str(tmp_path / "tpu_only.posenet")
+    save_serving_artifact(small_model, path, batch_sizes=(1,),
+                          input_hw=(65, 65), platforms=("tpu",))
+    art = load_serving_artifact(path)
+    with pytest.raises(ValueError, match="exported for platforms.*tpu.*cpu"):
+        art(np.zeros((1, 65, 65, 3), np.uint8))
+
+
 def test_export_rejects_bad_configs(small_model, tmp_path):
     with pytest.raises(ValueError, match="stride-valid"):
         save_serving_artifact(small_model, str(tmp_path / "x.posenet"),
