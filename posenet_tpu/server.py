@@ -33,7 +33,10 @@ Endpoints:
     GET  /healthz      -> {"ok": true, "artifact": <meta>}
     GET  /statsz       -> request/error counts, batch-size histogram,
                           device time (coalescing effectiveness)
-    POST /v1/decode    -> body: JPEG/PNG bytes (or raw
+    POST /v1/decode    -> optional ?min_pose_score=&min_part_score=
+                          (per-request post-filters; only stricter than
+                          the artifact's baked config has effect)
+                          body: JPEG/PNG bytes (or raw
                           `application/x-posenet-frame` uint8 RGB at the
                           artifact resolution, zero-copy path)
                           reply: {"poses": [{"score", "keypoints":
@@ -58,11 +61,15 @@ _RAW_CONTENT_TYPE = "application/x-posenet-frame"
 class _Request:
     """One enqueued frame and its reply slot."""
 
-    __slots__ = ("frame", "scale_yx", "event", "result", "error")
+    __slots__ = ("frame", "scale_yx", "min_pose_score", "min_part_score",
+                 "event", "result", "error")
 
-    def __init__(self, frame: np.ndarray, scale_yx: Tuple[float, float]):
+    def __init__(self, frame: np.ndarray, scale_yx: Tuple[float, float],
+                 min_pose_score: float, min_part_score: float):
         self.frame = frame
         self.scale_yx = scale_yx
+        self.min_pose_score = min_pose_score
+        self.min_part_score = min_part_score
         self.event = threading.Event()
         self.result = None
         self.error: Optional[str] = None
@@ -161,20 +168,22 @@ class PoseServer:
         self.stats["requests_done"] += len(chunk)
         for i, req in enumerate(chunk):
             req.result = self._poses_json(
-                pose_scores[i], kp_scores[i], kp_coords[i], req.scale_yx)
+                pose_scores[i], kp_scores[i], kp_coords[i], req)
             req.event.set()
 
-    def _poses_json(self, pose_scores, kp_scores, kp_coords, scale_yx):
+    def _poses_json(self, pose_scores, kp_scores, kp_coords, req: _Request):
         poses = []
         for p in range(pose_scores.shape[0]):
-            if pose_scores[p] <= 0:
+            # per-request thresholds are post-filters, sound because they
+            # can only be stricter than the artifact's baked decode config
+            if pose_scores[p] <= 0 or pose_scores[p] < req.min_pose_score:
                 continue
             kps = [{"part": PART_NAMES[k],
-                    "y": float(kp_coords[p, k, 0] * scale_yx[0]),
-                    "x": float(kp_coords[p, k, 1] * scale_yx[1]),
+                    "y": float(kp_coords[p, k, 0] * req.scale_yx[0]),
+                    "x": float(kp_coords[p, k, 1] * req.scale_yx[1]),
                     "score": float(kp_scores[p, k])}
                    for k in range(kp_scores.shape[1])
-                   if kp_scores[p, k] >= self.min_part_score]
+                   if kp_scores[p, k] >= req.min_part_score]
             poses.append({"score": float(pose_scores[p]), "keypoints": kps})
         return poses
 
@@ -182,14 +191,19 @@ class PoseServer:
 
     def decode_frame(self, frame: np.ndarray,
                      scale_yx: Tuple[float, float] = (1.0, 1.0),
-                     timeout_s: float = 120.0):
+                     timeout_s: float = 120.0,
+                     min_pose_score: float = 0.0,
+                     min_part_score: Optional[float] = None):
         """Enqueue one preprocessed (H, W, 3) uint8 RGB frame; block for
-        the decoded poses. Thread-safe."""
+        the decoded poses. Thread-safe. Per-call thresholds post-filter
+        the artifact's results (only stricter values have any effect)."""
         if frame.shape != (*self.input_hw, 3) or frame.dtype != np.uint8:
             raise ValueError(
                 f"frame must be uint8 {(*self.input_hw, 3)}, got "
                 f"{frame.dtype} {frame.shape}")
-        req = _Request(frame, scale_yx)
+        req = _Request(frame, scale_yx, float(min_pose_score),
+                       self.min_part_score if min_part_score is None
+                       else float(min_part_score))
         self._queue.put(req, timeout=5.0)
         if not req.event.wait(timeout_s):
             raise TimeoutError("decode timed out")
@@ -205,9 +219,11 @@ class PoseServer:
         for b in self.batch_sizes:
             self.artifact(np.zeros((b, *self.input_hw, 3), np.uint8))
 
-    def decode_image_bytes(self, data: bytes, content_type: str = ""):
+    def decode_image_bytes(self, data: bytes, content_type: str = "",
+                           **thresholds):
         """Decode an encoded image (JPEG/PNG) or a raw frame; returns
-        (poses, source_hw)."""
+        (poses, source_hw). `thresholds` forwards per-request
+        min_pose_score/min_part_score to decode_frame."""
         th, tw = self.input_hw
         if content_type == _RAW_CONTENT_TYPE:
             frame = np.frombuffer(data, np.uint8)
@@ -215,7 +231,8 @@ class PoseServer:
                 raise ValueError(
                     f"raw frame must be {th}x{tw}x3={th * tw * 3} bytes, "
                     f"got {frame.size}")
-            return self.decode_frame(frame.reshape(th, tw, 3)), [th, tw]
+            return (self.decode_frame(frame.reshape(th, tw, 3),
+                                      **thresholds), [th, tw])
         import cv2
         bgr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
         if bgr is None:
@@ -223,7 +240,8 @@ class PoseServer:
         sh, sw = bgr.shape[:2]
         resized = cv2.resize(bgr, (tw, th), interpolation=cv2.INTER_LINEAR)
         frame = np.ascontiguousarray(resized[..., ::-1])  # BGR -> RGB
-        poses = self.decode_frame(frame, scale_yx=(sh / th, sw / tw))
+        poses = self.decode_frame(frame, scale_yx=(sh / th, sw / tw),
+                                  **thresholds)
         return poses, [sh, sw]
 
     def close(self):
@@ -263,10 +281,18 @@ def make_http_server(pose_server: PoseServer, host: str = "127.0.0.1",
                 self._reply(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
-            if self.path != "/v1/decode":
-                self._reply(404, {"error": f"no route {self.path}"})
+            from urllib.parse import parse_qsl, urlsplit
+
+            url = urlsplit(self.path)
+            if url.path != "/v1/decode":
+                self._reply(404, {"error": f"no route {url.path}"})
                 return
             try:
+                thresholds = {}
+                for key, val in parse_qsl(url.query):
+                    if key not in ("min_pose_score", "min_part_score"):
+                        raise ValueError(f"unknown query param '{key}'")
+                    thresholds[key] = float(val)
                 n = int(self.headers.get("Content-Length", 0))
                 if n <= 0:
                     raise ValueError("empty body (send image bytes)")
@@ -275,7 +301,8 @@ def make_http_server(pose_server: PoseServer, host: str = "127.0.0.1",
                         f"body too large ({n} bytes; limit 64 MiB)")
                 data = self.rfile.read(n)
                 poses, source_hw = pose_server.decode_image_bytes(
-                    data, self.headers.get("Content-Type", ""))
+                    data, self.headers.get("Content-Type", ""),
+                    **thresholds)
                 self._reply(200, {"poses": poses, "source_hw": source_hw})
             except (ValueError, TimeoutError) as e:
                 # the body may not have been consumed (e.g. oversized):

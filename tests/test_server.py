@@ -174,6 +174,32 @@ def test_server_over_data_parallel_artifact(tmp_path):
         srv.close()
 
 
+def test_per_request_thresholds(http_base, server):
+    frame = _frames(1, seed=23)[0]
+    base = server.decode_frame(frame)
+    if not base:
+        pytest.skip("random weights produced no poses for this seed")
+    # a pose-score filter above the top score drops everything
+    top = base[0]["score"]
+    assert server.decode_frame(frame, min_pose_score=top + 1e-3) == []
+    # part-score filter strips keypoints but keeps the pose
+    strict = server.decode_frame(frame, min_part_score=2.0)
+    assert len(strict) == len(base)
+    assert all(p["keypoints"] == [] for p in strict)
+    # over HTTP via query params; unknown params are a 400
+    req = urllib.request.Request(
+        http_base + f"/v1/decode?min_pose_score={top + 1e-3}",
+        data=frame.tobytes(),
+        headers={"Content-Type": "application/x-posenet-frame"})
+    body = json.loads(urllib.request.urlopen(req, timeout=120).read())
+    assert body["poses"] == []
+    req = urllib.request.Request(http_base + "/v1/decode?bogus=1",
+                                 data=frame.tobytes())
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+
 def test_statsz_counts_batches(http_base, server):
     before = json.loads(urllib.request.urlopen(
         http_base + "/statsz", timeout=30).read())
