@@ -195,7 +195,13 @@ class ServingArtifact:
                     f"with batch_sizes including {batch})")
             with zipfile.ZipFile(self.path) as zf:
                 blob = zf.read(f"program_b{batch}.stablehlo")
-            self._programs[batch] = jax_export.deserialize(blob)
+            exported = jax_export.deserialize(blob)
+            # A bare Exported.call re-traces the call_exported primitive on
+            # every invocation — ~150 ms of host dispatch per call on a slow
+            # core (measured, vs ~17 ms jit-cached end to end at b1). The
+            # cached jit hits the C++ fast dispatch path after the first
+            # call; the underlying executable is the same.
+            self._programs[batch] = jax.jit(exported.call)
         return self._programs[batch]
 
     def __call__(self, frames_u8) -> DecodedPoses:
@@ -219,7 +225,7 @@ class ServingArtifact:
                     self.data_parallel_devices,
                     f"artifact {self.path} (exported data-parallel)")
             frames = jax.device_put(frames, self._data_sharding)
-        return program.call(frames)
+        return program(frames)
 
 
 def load_serving_artifact(path: str) -> ServingArtifact:
