@@ -29,6 +29,8 @@ import sys
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # script lives in tools/; make posenet_tpu importable
+    sys.path.insert(0, REPO)
 
 # Spaced-lowercase Dataloop labels for a few COCO parts (the parser
 # lowercases and matches camelCase part names rendered with spaces —
