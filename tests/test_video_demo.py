@@ -1,0 +1,92 @@
+"""posenet-video tests: batched offline video extraction end-to-end
+(no reference counterpart; the reference's only video surface is the live
+webcam loop)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def _write_video(path, n_frames=6, hw=(72, 96), fps=10):
+    import cv2
+
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'mp4v'),
+                             fps, (hw[1], hw[0]))
+    assert writer.isOpened(), "cv2 mp4v writer unavailable"
+    rng = np.random.RandomState(0)
+    for _ in range(n_frames):
+        writer.write(rng.randint(0, 255, (*hw, 3), dtype=np.uint8))
+    writer.release()
+
+
+def test_video_demo_end_to_end(tmp_path, monkeypatch, capsys):
+    """6 frames through batch 4 (one full + one padded partial batch):
+    overlay video at SOURCE resolution, one JSONL record per frame."""
+    import cv2
+
+    import video_demo
+
+    src = str(tmp_path / 'in.mp4')
+    out_video = str(tmp_path / 'out.mp4')
+    poses_out = str(tmp_path / 'poses.jsonl')
+    _write_video(src, n_frames=6, hw=(72, 96))
+
+    monkeypatch.setattr(sys, 'argv', [
+        'video_demo.py', '--video', src, '--model', '50',
+        '--resize', '33x33', '--batch_size', '4',
+        '--min_pose_score', '0.0',
+        '--output_video', out_video, '--poses_out', poses_out,
+        '--allow_random_init'])
+    video_demo.main()
+
+    out = capsys.readouterr().out
+    assert 'Processed 6 frames' in out
+
+    records = [json.loads(l) for l in open(poses_out)]
+    assert [r['frame'] for r in records] == list(range(6))
+    for r in records:
+        for pose in r['poses']:
+            assert pose['score'] > 0          # padded/empty slots excluded
+            assert len(pose['keypoints']) == 17
+            # coordinates mapped back to SOURCE resolution bounds
+            ys = [k['y'] for k in pose['keypoints']]
+            xs = [k['x'] for k in pose['keypoints']]
+            assert max(ys) <= 72 and max(xs) <= 96
+
+    cap = cv2.VideoCapture(out_video)
+    n = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        assert frame.shape == (72, 96, 3)     # source resolution overlay
+        n += 1
+    cap.release()
+    assert n == 6
+
+
+def test_video_demo_max_frames_no_outputs(tmp_path, monkeypatch, capsys):
+    """--max_frames truncation with neither writer enabled still reports."""
+    import video_demo
+
+    src = str(tmp_path / 'in.mp4')
+    _write_video(src, n_frames=5, hw=(48, 64))
+    monkeypatch.setattr(sys, 'argv', [
+        'video_demo.py', '--video', src, '--model', '50',
+        '--resize', '17x17', '--batch_size', '3', '--max_frames', '4',
+        '--allow_random_init'])
+    video_demo.main()
+    assert 'Processed 4 frames' in capsys.readouterr().out
+
+
+def test_video_demo_missing_file(monkeypatch, tmp_path):
+    import video_demo
+
+    monkeypatch.setattr(sys, 'argv', [
+        'video_demo.py', '--video', str(tmp_path / 'nope.mp4'),
+        '--model', '50', '--allow_random_init'])
+    with pytest.raises(IOError, match='could not open video'):
+        video_demo.main()
