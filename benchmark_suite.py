@@ -11,8 +11,10 @@ Prints one JSON line per config (see BASELINE.md):
      the 8-way layout is validated by __graft_entry__.dryrun_multichip).
   6. (extra, not in BASELINE) stride-8 1080p decode-only on the 136x241
      grid through the bit-exact pallas kernel.
+  7. (extra, not in BASELINE) config 5 in mixed precision
+     (--train_dtype bfloat16): frozen trunk bf16, everything else f32.
 
-Usage: python benchmark_suite.py [--configs 1,2,3,4,5,6] [--iters N]
+Usage: python benchmark_suite.py [--configs 1,2,3,4,5,6,7] [--iters N]
 """
 
 import argparse
@@ -127,7 +129,7 @@ def run_decode_1080p_config(iters):
         "img_per_s": round(iters * batch / dt, 1)}))
 
 
-def run_train_config(iters):
+def run_train_config(iters, dtype='float32'):
     import jax
     import jax.numpy as jnp
 
@@ -138,8 +140,10 @@ def run_train_config(iters):
 
     n_dev = len(jax.devices())
     mesh = mesh_lib.make_mesh(n_dev)
-    model_cfg = ModelConfig(model_id=101, output_stride=16)
-    train_cfg = TrainConfig(model_id=101, batch_size=2 * n_dev)
+    model_cfg = ModelConfig(model_id=101, output_stride=16,
+                            compute_dtype=jnp.dtype(dtype))
+    train_cfg = TrainConfig(model_id=101, batch_size=2 * n_dev,
+                            compute_dtype=jnp.dtype(dtype))
 
     params = mobilenet_v1.init_params(jax.random.PRNGKey(0), model_cfg)
     state, tx = ts.init_train_state(params, train_cfg)
@@ -164,7 +168,7 @@ def run_train_config(iters):
     _barrier(metrics['loss'])
     dt = time.perf_counter() - t0
     print(json.dumps({
-        "config": "5: train step DP", "devices": n_dev,
+        "config": f"5: train step DP ({dtype})", "devices": n_dev,
         "global_batch": 2 * n_dev,
         "ms_per_step": round(dt / iters * 1000, 2),
         "img_per_s": round(iters * 2 * n_dev / dt, 1)}))
@@ -199,6 +203,10 @@ def main():
         run_train_config(max(1, args.iters // 4))
     if 6 in configs:
         run_decode_1080p_config(args.iters)
+    if 7 in configs:
+        # mixed-precision train step (--train_dtype bfloat16): frozen trunk
+        # in bf16, master params / head accum / loss / Adam in f32
+        run_train_config(max(1, args.iters // 4), dtype='bfloat16')
 
 
 if __name__ == '__main__':

@@ -114,6 +114,13 @@ class TrainConfig:
     # Data parallelism: number of devices in the ('data',) mesh. None = all.
     num_devices: Optional[int] = None
     seed: int = 0
+    # Trunk compute dtype for the training forward pass. float32 (default)
+    # matches the reference's full-precision fine-tune. bfloat16 is standard
+    # mixed precision: the FROZEN trunk (heads_only) runs bf16 while master
+    # params, head accumulation (mobilenet_v1.forward's f32 head epilogue),
+    # the loss, and Adam state all stay float32 — only head gradients flow,
+    # through one activation cast.
+    compute_dtype: jnp.dtype = jnp.float32
 
 
 # Default on-disk model directory (reference model_factory.py:7).

@@ -269,6 +269,13 @@ def forward(params: Dict[str, Any], x: jax.Array, cfg: ModelConfig,
         # train.py:620-634; optax.masked alone still computes the unused
         # backbone grads).
         x = lax.stop_gradient(x)
+        if x.dtype != jnp.float32:
+            # bf16-trunk training: the head conv's weight gradient contracts
+            # the f32 cotangent (heads accumulate f32) with these features,
+            # and XLA's conv grad requires matching dtypes. Only this
+            # training branch pays the upcast; inference keeps bf16 head
+            # input (the HBM-cheap layout).
+            x = x.astype(jnp.float32)
 
     return run_heads(params['heads'], x, precision=precision)
 

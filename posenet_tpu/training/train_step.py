@@ -103,6 +103,11 @@ def make_train_step(tx, model_cfg: ModelConfig, train_cfg: TrainConfig,
     """Compile the step. With a mesh: batch sharded over 'data', state
     replicated — the canonical DP layout. Accepts any batch dict carrying
     at least 'image'/'keypoints' (extra keys are dropped host-side)."""
+    if model_cfg.compute_dtype != jnp.float32 and not train_cfg.heads_only:
+        raise ValueError(
+            "mixed-precision training (compute_dtype=bfloat16) requires "
+            "heads_only=True: full fine-tuning would contract f32 cotangents "
+            "against bf16 trunk weights in every conv gradient")
     fn = functools.partial(train_step, tx=tx, model_cfg=model_cfg,
                            train_cfg=train_cfg)
     if mesh is None:

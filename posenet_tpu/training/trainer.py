@@ -218,7 +218,8 @@ def train(train_dataset: PosenetDataset,
     """Run the fine-tuning loop; returns the final TrainState."""
     logger = logger or MetricLogger()
     model_cfg = ModelConfig(model_id=train_cfg.model_id,
-                            output_stride=train_cfg.output_stride)
+                            output_stride=train_cfg.output_stride,
+                            compute_dtype=train_cfg.compute_dtype)
     if params is None:
         params = mobilenet_v1.init_params(
             jax.random.PRNGKey(train_cfg.seed), model_cfg)

@@ -153,6 +153,46 @@ def test_train_step_heads_only_updates():
     assert int(new_state.step) == 1
 
 
+def test_train_step_bfloat16_mixed_precision():
+    """--train_dtype bfloat16: bf16 frozen trunk, f32 master params/loss.
+    The step must keep params f32, update only heads, and land within
+    bf16-activation tolerance of the f32 step's loss."""
+    rng = np.random.RandomState(2)
+    batch = {
+        'image': jnp.asarray(rng.uniform(-1, 1, (2, 33, 33, 3)), jnp.float32),
+        'keypoints': jnp.asarray(rng.uniform(0, 2, (2, 4, 17, 2)), jnp.float32),
+    }
+
+    losses = {}
+    states = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        model_cfg = ModelConfig(model_id=50, output_stride=16,
+                                compute_dtype=dtype)
+        train_cfg = TrainConfig(model_id=50, compute_dtype=dtype)
+        params = mobilenet_v1.init_params(jax.random.PRNGKey(3),
+                                          ModelConfig(model_id=50,
+                                                      output_stride=16))
+        state, tx = ts.init_train_state(params, train_cfg)
+        step = ts.make_train_step(tx, model_cfg, train_cfg)
+        new_state, metrics = step(state, batch)
+        losses[dtype] = float(metrics['loss'])
+        states[dtype] = (params, new_state)
+
+    assert np.isfinite(losses[jnp.bfloat16])
+    # bf16 activations shift the loss by ulps of bf16, not more
+    np.testing.assert_allclose(losses[jnp.bfloat16], losses[jnp.float32],
+                               rtol=0.05)
+    params, new_state = states[jnp.bfloat16]
+    # master params stay float32 and the frozen trunk does not move
+    assert new_state.params['heads']['heatmap']['w'].dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(params['backbone'][0]['w']),
+        np.asarray(new_state.params['backbone'][0]['w']))
+    h_old = np.asarray(params['heads']['heatmap']['w'])
+    h_new = np.asarray(new_state.params['heads']['heatmap']['w'])
+    assert np.abs(h_new - h_old).max() > 0
+
+
 def test_train_step_dp_matches_single_device():
     """The 8-device DP step must produce the same update as single-device on
     the same global batch (the collective is a mean-preserving all-reduce)."""

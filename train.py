@@ -56,6 +56,13 @@ def parse_args():
                         help='after training, export the best checkpoint '
                              'as an AOT serving artifact (StableHLO with '
                              'weights baked in — posenet_tpu/serving.py)')
+    parser.add_argument('--train_dtype', type=str, default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='trunk compute dtype for the training forward '
+                             'pass. float32 (default) matches the reference '
+                             'fine-tune; bfloat16 is mixed precision — the '
+                             'frozen trunk runs bf16, master params / head '
+                             'accumulation / loss / Adam stay float32')
     parser.add_argument('--export_dtype', type=str, default='bfloat16',
                         choices=['bfloat16', 'float32'],
                         help='compute dtype baked into the exported '
@@ -82,13 +89,16 @@ def main():
                 keypoints_updated_dir=args.keypoint_dir,
                 annotation_format=args.gt_format)
 
+    import jax.numpy as _jnp
+
     cfg = TrainConfig(
         model_id=args.model, output_stride=args.output_stride,
         batch_size=args.batch_size, learning_rate=args.lr,
         num_epochs=args.num_epochs, checkpoint_dir=args.checkpoint_dir,
         keypoint_dir=args.keypoint_dir,
         output_dir=args.output_dir, visual_every=args.visual_every,
-        num_devices=args.num_devices or None)
+        num_devices=args.num_devices or None,
+        compute_dtype=_jnp.dtype(args.train_dtype))
 
     model = model_factory.load_model(
         args.model, output_stride=args.output_stride,
