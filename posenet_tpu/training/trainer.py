@@ -168,6 +168,50 @@ def evaluate_poses(params, batch, model_cfg: ModelConfig,
         np.asarray(batch['keypoints']), model_cfg.output_stride)
 
 
+def evaluate(dataset: PosenetDataset, train_cfg: TrainConfig, params,
+             mesh: Optional[jax.sharding.Mesh] = None,
+             eval_pose_metrics: bool = True) -> Dict[str, float]:
+    """Standalone evaluation: loss + OKS/mAP over a dataset, no training.
+
+    The same eval path the training loop runs per epoch (loss via the
+    jitted eval step, pose metrics via decode + Hungarian/OKS/mAP —
+    reference train.py:826-890 does this only inside its loop), exposed
+    for `train.py --eval_only` and notebooks. Returns a flat dict:
+    loss / heatmap_loss / offset_loss means, plus oks / mAP when
+    eval_pose_metrics, plus n_images actually scored."""
+    model_cfg = ModelConfig(model_id=train_cfg.model_id,
+                            output_stride=train_cfg.output_stride,
+                            compute_dtype=train_cfg.compute_dtype)
+    decode_cfg = DecodeConfig(min_pose_score=0.25, score_threshold=0.25)
+    eval_fn = ts.make_eval_step(model_cfg, train_cfg, mesh=mesh)
+    if mesh is not None:
+        params = mesh_lib.replicate(params, mesh)
+
+    losses, oks_vals, map_vals = [], [], []
+    n_images = 0
+    for batch in dataset.iter_batches(train_cfg.batch_size, shuffle=False,
+                                      drop_remainder=mesh is not None,
+                                      wrap_if_short=mesh is not None):
+        device_batch = {'image': batch['image'],
+                        'keypoints': batch['keypoints']}
+        if mesh is not None:
+            device_batch = mesh_lib.shard_batch(device_batch, mesh)
+        losses.append(eval_fn(params, device_batch))
+        n_images += batch['image'].shape[0]
+        if eval_pose_metrics:
+            oks, ap = evaluate_poses(params, batch, model_cfg, decode_cfg)
+            oks_vals.append(oks)
+            map_vals.append(ap)
+
+    report = {k: float(np.mean([float(m[k]) for m in losses]))
+              for k in losses[0]} if losses else {}
+    report['n_images'] = n_images
+    if eval_pose_metrics and oks_vals:
+        report['oks'] = float(np.mean(oks_vals))
+        report['mAP'] = float(np.mean(map_vals))
+    return report
+
+
 def dump_visual_diagnostics(params, batch, dataset: PosenetDataset,
                             model_cfg: ModelConfig, decode_cfg: DecodeConfig,
                             output_dir: str, epoch: int):

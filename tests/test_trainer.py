@@ -192,6 +192,48 @@ def test_train_loop_with_pose_metrics(tmp_path):
     assert 'oks' in logger.history[0] or 'test_loss' in logger.history[0]
 
 
+def test_evaluate_standalone(tmp_path):
+    """trainer.evaluate: loss + OKS/mAP over a dataset with no training."""
+    from posenet_tpu.training.trainer import evaluate
+
+    images, kpdir = make_synthetic_dataset(str(tmp_path))
+    ds = PosenetDataset(images, kpdir, image_size=65, output_stride=16)
+    cfg = TrainConfig(model_id=50, output_stride=16, batch_size=2)
+    params = mobilenet_v1.init_params(jax.random.PRNGKey(0),
+                                      ModelConfig(model_id=50,
+                                                  output_stride=16))
+    report = evaluate(ds, cfg, params)
+    for key in ('loss', 'heatmap_loss', 'offset_loss', 'oks', 'mAP'):
+        assert key in report and np.isfinite(report[key]), (key, report)
+    assert report['n_images'] == 4
+    # metrics off -> no pose keys, loss still there
+    lean = evaluate(ds, cfg, params, eval_pose_metrics=False)
+    assert 'oks' not in lean and np.isfinite(lean['loss'])
+
+
+def test_train_cli_eval_only(tmp_path, monkeypatch, capsys):
+    """train.py --eval_only prints one JSON report line and does not write
+    a checkpoint."""
+    import sys
+
+    import train as train_cli
+
+    images, kpdir = make_synthetic_dataset(str(tmp_path))
+    ckpt_dir = str(tmp_path / "ckpt")
+    monkeypatch.setattr(sys, 'argv', [
+        'train.py', '--model', '50', '--train_image_dir', images,
+        '--test_image_dir', str(tmp_path / 'none'),
+        '--keypoint_dir', kpdir, '--image_size', '65',
+        '--checkpoint_dir', ckpt_dir, '--batch_size', '2',
+        '--eval_only', '--allow_random_init'])
+    train_cli.main()
+    out = capsys.readouterr().out
+    assert 'no checkpoint found' in out
+    report = json.loads(out.strip().splitlines()[-1])
+    assert np.isfinite(report['loss']) and report['n_images'] == 4
+    assert not os.path.exists(ckpt_dir)
+
+
 def test_score_decoded_zero_predictions_counts_fn():
     """An image where the model predicts NOTHING but GT poses exist must
     drag OKS/recall/mAP to 0 — not silently vanish from the average

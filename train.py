@@ -56,6 +56,12 @@ def parse_args():
                         help='after training, export the best checkpoint '
                              'as an AOT serving artifact (StableHLO with '
                              'weights baked in — posenet_tpu/serving.py)')
+    parser.add_argument('--eval_only', action='store_true',
+                        help='no training: restore the checkpoint (or use '
+                             'the loaded/converted weights if none exists) '
+                             'and print one JSON line of eval loss + '
+                             'OKS/mAP over --test_image_dir (falls back to '
+                             '--train_image_dir)')
     parser.add_argument('--train_dtype', type=str, default='float32',
                         choices=['float32', 'bfloat16'],
                         help='trunk compute dtype for the training forward '
@@ -117,6 +123,29 @@ def main():
         test_ds = None
 
     mesh = mesh_lib.make_mesh(cfg.num_devices) if cfg.num_devices else None
+
+    if args.eval_only:
+        import json
+
+        from posenet_tpu.training import train_step as _ts
+        from posenet_tpu.training.trainer import (evaluate,
+                                                  restore_checkpoint)
+
+        params = model.params
+        state, _ = _ts.init_train_state(params, cfg)
+        restored = restore_checkpoint(cfg.checkpoint_dir, state)
+        if restored is not None:
+            params = restored.params
+            print(f'eval: restored checkpoint step {int(restored.step)} '
+                  f'from {cfg.checkpoint_dir}')
+        else:
+            print('eval: no checkpoint found, using loaded model weights')
+        ds = test_ds if test_ds is not None else train_ds
+        report = evaluate(ds, cfg, params, mesh=mesh,
+                          eval_pose_metrics=not args.no_pose_metrics)
+        print(json.dumps(report))
+        return
+
     logger = MetricLogger(use_wandb=args.wandb)
     state = train(train_ds, test_ds, cfg, logger=logger, mesh=mesh,
                   params=model.params,
