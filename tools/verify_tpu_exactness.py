@@ -7,9 +7,13 @@ Two-process protocol (CPU and TPU backends cannot share one process):
     python tools/verify_tpu_exactness.py tpu   # decodes on TPU, compares
 
 Expected: every *_coords and *_scores array BITWISE EQUAL; *_ps (pose
-scores) may differ by 1 ulp (~3e-8) — the 17-element instance-score
-reduction can associate differently on TPU; both are valid f32 roundings
-of the same sum (the reference computes it in host float64). Guards the
+scores) may differ by up to 2 ulps — the inputs to the 17-element
+instance-score mean are bitwise identical (guaranteed by *_scores), but
+CPU (sequential) and TPU (tree) reductions associate the sum differently
+and each partial sum rounds, so the result can drift past 1 ulp; both
+are valid f32 roundings of the same sum (the reference computes it in
+host float64). Observed: 1 ulp on most toolchain states, 2 ulps on some
+(2026-08-18 evening chip state). Guards the
 `lax.optimization_barrier` index pinning in decode.py `_traverse` /
 `_traverse_all_candidates` — without it, XLA:TPU fuses the float
 clip(round(coord/stride)) chain into the gathers and recomputes it with
@@ -85,11 +89,14 @@ else:
             print(f'{k}: EQUAL')
             continue
         d = np.abs(v - ref[k])
-        # 1 ulp is value-dependent (5.96e-8 in [0.5,1), 1.19e-7 in [1,2));
-        # compare against the spacing at each reference value, not a constant.
-        if k.endswith('_ps') and (d <= np.spacing(np.abs(ref[k]))).all():
-            print(f'{k}: within 1 ulp (max {d.max():.3g}) — expected, '
-                  f'see module docstring')
+        # ulp size is value-dependent (5.96e-8 in [0.5,1), 1.19e-7 in
+        # [1,2)); compare against the spacing at each reference value, not
+        # a constant. 2 ulps: see module docstring (mean-reduction
+        # association over bitwise-identical keypoint scores).
+        if k.endswith('_ps') and (d <= 2 * np.spacing(np.abs(ref[k]))).all():
+            ulps = float((d / np.spacing(np.abs(ref[k]))).max())
+            print(f'{k}: within {ulps:.0f} ulp(s) (max {d.max():.3g}) — '
+                  f'expected, see module docstring')
             continue
         ok = False
         print(f'{k}: {np.count_nonzero(d)}/{d.size} differ, '
