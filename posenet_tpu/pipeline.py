@@ -61,9 +61,38 @@ def _infer_cropped(params, frames_u8, crop_r, valid_h, *, cfg: ModelConfig,
         cfg.output_stride, decode_cfg)
 
 
+def _infer_raw(params, frames_bgr_u8, target_hw, cfg: ModelConfig,
+               decode_cfg: DecodeConfig):
+    """(B, Hs, Ws, 3) uint8 BGR SOURCE-resolution frames -> DecodedPoses.
+
+    Device-side preprocess fused into the same XLA program as backbone +
+    decode: BGR->RGB, f32 bilinear resize to `target_hw` (antialias=False,
+    matching cv2.INTER_LINEAR and preprocess_on_device), [-1,1]
+    normalization. Bit-identical to preprocess_on_device -> forward ->
+    decode_batch chained by hand (the test asserts it); numerics differ
+    from the HOST cv2-resize path at the resize-kernel level, so parity
+    work stays on the host path. Coordinates come back at `target_hw`
+    resolution — same scale contract as the host path."""
+    x = frames_bgr_u8[..., ::-1].astype(jnp.float32)
+    x = jax.image.resize(x, (x.shape[0], *target_hw, 3), method='bilinear',
+                         antialias=False)
+    x = x * (2.0 / 255.0) - 1.0
+    heads = mobilenet_v1.forward(params, x, cfg)
+    return decode_batch(
+        heads['heatmap'], heads['offset'], heads['displacement_fwd'],
+        heads['displacement_bwd'], cfg.output_stride, decode_cfg)
+
+
 @functools.partial(jax.jit, static_argnames=('cfg', 'decode_cfg'))
 def infer_jit(params, frames_u8, cfg: ModelConfig, decode_cfg: DecodeConfig):
     return _infer(params, frames_u8, cfg, decode_cfg)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('target_hw', 'cfg', 'decode_cfg'))
+def infer_raw_jit(params, frames_bgr_u8, target_hw, cfg: ModelConfig,
+                  decode_cfg: DecodeConfig):
+    return _infer_raw(params, frames_bgr_u8, target_hw, cfg, decode_cfg)
 
 
 class PoseNetPipeline:
@@ -77,7 +106,8 @@ class PoseNetPipeline:
     def __init__(self, model: PoseNet,
                  decode_cfg: DecodeConfig = DecodeConfig(min_pose_score=0.25),
                  mesh: Optional[jax.sharding.Mesh] = None,
-                 partition: str = 'data'):
+                 partition: str = 'data',
+                 device_resize_to: Optional[Tuple[int, int]] = None):
         """Args:
           mesh: optional device mesh with a 'data' axis.
           partition: how to spread work over the mesh —
@@ -88,6 +118,14 @@ class PoseNetPipeline:
               context length). XLA GSPMD inserts the conv halo exchanges
               over ICI automatically; use for single-image latency when one
               frame must be computed by many chips.
+          device_resize_to: (th, tw) stride-valid processing resolution.
+            When set, __call__ takes SOURCE-resolution uint8 BGR frames
+            and the fused program does BGR->RGB + bilinear resize +
+            normalize on DEVICE (_infer_raw) — for hosts where cv2 resize
+            is the bottleneck. Decoded coordinates are at (th, tw), same
+            scale contract as host preprocessing. Not combinable with
+            partition='spatial' (the H-shard masking assumes the input is
+            already at the processing resolution).
         """
         self.model = model
         if mesh is not None and decode_cfg.use_pallas is None:
@@ -119,6 +157,12 @@ class PoseNetPipeline:
                 model.cfg)
         self._partition = partition if mesh is not None else 'data'
         self._n_shards = mesh.devices.size if mesh is not None else 1
+        self._device_resize_to = device_resize_to
+        if device_resize_to is not None and self._partition == 'spatial':
+            raise NotImplementedError(
+                "device_resize_to + spatial partition: the H-shard pad-row "
+                "masking assumes input at the processing resolution; use "
+                "partition='data'")
         if mesh is not None:
             P = jax.sharding.PartitionSpec
             if partition == 'spatial':
@@ -135,8 +179,13 @@ class PoseNetPipeline:
                                        decode_cfg=decode_cfg)
             else:
                 in_spec = P('data')
-                fn = functools.partial(_infer, cfg=model.cfg,
-                                       decode_cfg=decode_cfg)
+                if device_resize_to is not None:
+                    fn = functools.partial(
+                        _infer_raw, target_hw=tuple(device_resize_to),
+                        cfg=model.cfg, decode_cfg=decode_cfg)
+                else:
+                    fn = functools.partial(_infer, cfg=model.cfg,
+                                           decode_cfg=decode_cfg)
             in_sharding = jax.sharding.NamedSharding(mesh, in_spec)
             replicated = jax.sharding.NamedSharding(mesh, P())
             self.params = jax.device_put(model.params, replicated)
@@ -146,8 +195,13 @@ class PoseNetPipeline:
                 out_shardings=replicated if partition == 'spatial' else None)
         else:
             self.params = model.params
-            self._fn = functools.partial(
-                infer_jit, cfg=model.cfg, decode_cfg=self.decode_cfg)
+            if device_resize_to is not None:
+                self._fn = functools.partial(
+                    infer_raw_jit, target_hw=tuple(device_resize_to),
+                    cfg=model.cfg, decode_cfg=self.decode_cfg)
+            else:
+                self._fn = functools.partial(
+                    infer_jit, cfg=model.cfg, decode_cfg=self.decode_cfg)
 
     def __call__(self, frames_u8) -> DecodedPoses:
         frames = jnp.asarray(frames_u8)

@@ -132,6 +132,54 @@ def test_pipeline_end_to_end():
     assert np.isfinite(coords).all()
 
 
+def test_pipeline_device_preprocess():
+    """device_resize_to: the fused raw-frame program (BGR->RGB + resize +
+    normalize on device) must match preprocess_on_device -> forward ->
+    decode_batch chained by hand, and reject spatial partition."""
+    import jax.numpy as jnp
+    import pytest
+
+    from posenet_tpu.config import DecodeConfig
+    from posenet_tpu.decode import decode_batch
+    from posenet_tpu.models import load_model, mobilenet_v1
+    from posenet_tpu.parallel.mesh import make_mesh
+    from posenet_tpu.pipeline import PoseNetPipeline
+    from posenet_tpu.preprocess import preprocess_on_device
+
+    model = load_model(50, output_stride=16, allow_random_init=True)
+    dcfg = DecodeConfig(min_pose_score=0.0, score_threshold=0.3,
+                        max_candidates=32)
+    # source 80x100 BGR frames, processed at stride-valid 65x65 on device
+    frames = np.random.RandomState(11).randint(
+        0, 255, (2, 80, 100, 3), dtype=np.uint8)
+    pipe = PoseNetPipeline(model, dcfg, device_resize_to=(65, 65))
+    fused = pipe(frames)
+
+    x = preprocess_on_device(jnp.asarray(frames), (65, 65))
+    heads = mobilenet_v1.forward_jit(pipe.params, x, model.cfg)
+    manual = decode_batch(heads['heatmap'], heads['offset'],
+                          heads['displacement_fwd'],
+                          heads['displacement_bwd'], 16, dcfg)
+    np.testing.assert_array_equal(np.asarray(fused.pose_scores),
+                                  np.asarray(manual.pose_scores))
+    np.testing.assert_array_equal(np.asarray(fused.keypoint_coords),
+                                  np.asarray(manual.keypoint_coords))
+
+    # batch-sharded raw path equals unsharded
+    mesh = make_mesh(8)
+    frames8 = np.random.RandomState(12).randint(
+        0, 255, (8, 80, 100, 3), dtype=np.uint8)
+    sharded = PoseNetPipeline(model, dcfg, mesh=mesh,
+                              device_resize_to=(65, 65))(frames8)
+    plain = PoseNetPipeline(model, dcfg, device_resize_to=(65, 65))(frames8)
+    np.testing.assert_allclose(np.asarray(sharded.keypoint_coords),
+                               np.asarray(plain.keypoint_coords), atol=1e-4)
+
+    with pytest.raises(NotImplementedError, match='spatial'):
+        PoseNetPipeline(model, dcfg, mesh=mesh, partition='spatial',
+                        device_resize_to=(65, 65))
+
+
 def test_pipeline_with_mesh():
     import jax
 

@@ -82,6 +82,30 @@ def test_video_demo_max_frames_no_outputs(tmp_path, monkeypatch, capsys):
     assert 'Processed 4 frames' in capsys.readouterr().out
 
 
+def test_video_demo_device_preprocess(tmp_path, monkeypatch, capsys):
+    """--device_preprocess ships raw source-resolution frames; resize +
+    color flip + normalize run fused on device."""
+    import video_demo
+
+    src = str(tmp_path / 'in.mp4')
+    poses_out = str(tmp_path / 'poses.jsonl')
+    _write_video(src, n_frames=4, hw=(60, 84))
+    monkeypatch.setattr(sys, 'argv', [
+        'video_demo.py', '--video', src, '--model', '50',
+        '--resize', '33x33', '--batch_size', '4', '--min_pose_score', '0.0',
+        '--poses_out', poses_out, '--device_preprocess',
+        '--allow_random_init'])
+    video_demo.main()
+    assert 'Processed 4 frames' in capsys.readouterr().out
+    records = [json.loads(l) for l in open(poses_out)]
+    assert len(records) == 4
+    for r in records:
+        for pose in r['poses']:
+            ys = [k['y'] for k in pose['keypoints']]
+            xs = [k['x'] for k in pose['keypoints']]
+            assert max(ys) <= 60 and max(xs) <= 84   # source-resolution coords
+
+
 def test_video_demo_missing_file(monkeypatch, tmp_path):
     import video_demo
 

@@ -48,6 +48,12 @@ def parse_args(argv=None):
                         help='write one JSON line per frame here')
     parser.add_argument('--max_frames', type=int, default=0,
                         help='stop after N frames (0 = whole video)')
+    parser.add_argument('--device_preprocess', action='store_true',
+                        help='resize + BGR->RGB + normalize ON DEVICE, '
+                             'fused into the inference program '
+                             '(pipeline._infer_raw) — offloads the host '
+                             'cv2 resize when the CPU is the bottleneck; '
+                             'ships full source-resolution uint8 frames')
     parser.add_argument('--allow_random_init', action='store_true',
                         help='fall back to random weights if the tfjs '
                              'bucket is unreachable (offline environments)')
@@ -111,7 +117,8 @@ def main(argv=None):
     model = posenet.load_model(args.model, output_stride=args.output_stride,
                                allow_random_init=args.allow_random_init)
     pipe = PoseNetPipeline(
-        model, DecodeConfig(min_pose_score=args.min_pose_score))
+        model, DecodeConfig(min_pose_score=args.min_pose_score),
+        device_resize_to=(th, tw) if args.device_preprocess else None)
 
     cap = cv2.VideoCapture(args.video)
     if not cap.isOpened():
@@ -141,9 +148,13 @@ def main(argv=None):
                 src_fps, (frame.shape[1], frame.shape[0]))
         if scale is None:
             scale = np.array([frame.shape[0] / th, frame.shape[1] / tw])
-        resized = cv2.resize(frame, (tw, th),
-                             interpolation=cv2.INTER_LINEAR)
-        rgb_frames.append(cv2.cvtColor(resized, cv2.COLOR_BGR2RGB))
+        if args.device_preprocess:
+            # the fused program does BGR->RGB + resize + normalize
+            rgb_frames.append(frame)
+        else:
+            resized = cv2.resize(frame, (tw, th),
+                                 interpolation=cv2.INTER_LINEAR)
+            rgb_frames.append(cv2.cvtColor(resized, cv2.COLOR_BGR2RGB))
         bgr_frames.append(frame)
         frame_ids.append(frame_count)
         frame_count += 1
