@@ -204,6 +204,19 @@ class PoseNetPipeline:
                     infer_jit, cfg=model.cfg, decode_cfg=self.decode_cfg)
 
     def __call__(self, frames_u8) -> DecodedPoses:
+        """Run the fused forward+decode program on a uint8 frame batch.
+
+        INPUT COLOR CONTRACT — it flips with `device_resize_to`:
+          * default (host-preprocessed) mode: frames are **RGB** uint8 at
+            the model resolution (what `preprocess.process_input`-style
+            host code produces);
+          * `device_resize_to=...` mode: frames are **BGR** uint8 at the
+            SOURCE resolution — the fused program performs the BGR->RGB
+            swap + bilinear resize + normalize on device (matching cv2
+            capture output so the host touches raw frames zero times).
+        Passing the wrong order raises no error but silently degrades pose
+        scores; see the class docstring for the rationale.
+        """
         frames = jnp.asarray(frames_u8)
         if self._partition == 'spatial':
             h = frames.shape[1]

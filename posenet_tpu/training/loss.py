@@ -184,11 +184,14 @@ def heatmap_offset_loss(heatmap_logits: jax.Array, pred_offsets: jax.Array,
 
 def batched_loss(heatmap_logits, pred_offsets, keypoints, output_stride: int,
                  heatmap_weight: float = 4.0, offset_weight: float = 1.0,
-                 gaussian_kernel_size: int = GAUSSIAN_KERNEL_SIZE):
-    """vmap over the batch axis, mean-reduced."""
+                 gaussian_kernel_size: int = GAUSSIAN_KERNEL_SIZE,
+                 reduce: bool = True):
+    """vmap over the batch axis; mean-reduced unless `reduce=False` (then
+    each metric is the per-item (B,) vector — the eval path uses this to
+    exclude wrap-padding duplicates and weight partial batches exactly)."""
     per_item = jax.vmap(
         lambda hl, po, kp: heatmap_offset_loss(
             hl, po, kp, output_stride, heatmap_weight, offset_weight,
             gaussian_kernel_size)
     )(heatmap_logits, pred_offsets, keypoints)
-    return jax.tree.map(jnp.mean, per_item)
+    return jax.tree.map(jnp.mean, per_item) if reduce else per_item

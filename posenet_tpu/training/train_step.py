@@ -80,6 +80,20 @@ def eval_step(params, batch, model_cfg: ModelConfig, train_cfg: TrainConfig):
     return metrics
 
 
+def eval_step_per_item(params, batch, model_cfg: ModelConfig,
+                       train_cfg: TrainConfig):
+    """Per-item (B,) metric vectors — no batch mean. trainer.evaluate()
+    slices off wrap-padding duplicates and weights partial batches by their
+    true size, so the reported eval loss is an exact per-image mean."""
+    out = mobilenet_v1.forward(params, batch['image'], model_cfg,
+                               stop_trunk_gradient=train_cfg.heads_only)
+    return batched_loss(
+        out['heatmap_logits'], out['offset'], batch['keypoints'],
+        model_cfg.output_stride,
+        heatmap_weight=train_cfg.heatmap_loss_weight,
+        offset_weight=train_cfg.offset_loss_weight, reduce=False)
+
+
 def init_train_state(params, cfg: TrainConfig) -> Tuple[TrainState, optax.GradientTransformation]:
     tx = make_optimizer(cfg, params)
     return TrainState(params, tx.init(params), jnp.int32(0)), tx
@@ -124,8 +138,12 @@ def make_train_step(tx, model_cfg: ModelConfig, train_cfg: TrainConfig,
 
 
 def make_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
-                   mesh: Optional[jax.sharding.Mesh] = None):
-    fn = functools.partial(eval_step, model_cfg=model_cfg, train_cfg=train_cfg)
+                   mesh: Optional[jax.sharding.Mesh] = None,
+                   per_item: bool = False):
+    """`per_item=True` returns (B,) metric vectors instead of batch means
+    (outputs stay batch-sharded under a mesh; the host fetch gathers)."""
+    fn = functools.partial(eval_step_per_item if per_item else eval_step,
+                           model_cfg=model_cfg, train_cfg=train_cfg)
     if mesh is None:
         jfn = jax.jit(fn)
         return lambda params, batch: jfn(params, _step_batch(batch))
@@ -133,5 +151,5 @@ def make_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
     data = mesh_lib.data_sharding(mesh)
     jfn = jax.jit(fn,
                   in_shardings=(repl, {'image': data, 'keypoints': data}),
-                  out_shardings=repl)
+                  out_shardings=data if per_item else repl)
     return lambda params, batch: jfn(params, _step_batch(batch))

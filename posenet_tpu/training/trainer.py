@@ -156,16 +156,22 @@ def score_decoded_poses(kp_coords: np.ndarray, pose_scores: np.ndarray,
 
 
 def evaluate_poses(params, batch, model_cfg: ModelConfig,
-                   decode_cfg: DecodeConfig):
+                   decode_cfg: DecodeConfig, n_real: int = None):
     """Decode predictions for a batch and score them against GT keypoints
-    (host-side Hungarian/OKS/mAP — reference train.py:757-779)."""
+    (host-side Hungarian/OKS/mAP — reference train.py:757-779).
+
+    `n_real` scores only the first n images — wrap-padded eval batches
+    carry duplicates in the trailing slots (dataset.iter_batches
+    wrap_if_short); slicing AFTER decode keeps the compiled shape stable."""
     out = mobilenet_v1.forward_jit(params, jnp.asarray(batch['image']), model_cfg)
     decoded = decode_batch(out['heatmap'], out['offset'],
                            out['displacement_fwd'], out['displacement_bwd'],
                            model_cfg.output_stride, decode_cfg)
+    sl = slice(None) if n_real is None else slice(n_real)
     return score_decoded_poses(
-        np.asarray(decoded.keypoint_coords), np.asarray(decoded.pose_scores),
-        np.asarray(batch['keypoints']), model_cfg.output_stride)
+        np.asarray(decoded.keypoint_coords)[sl],
+        np.asarray(decoded.pose_scores)[sl],
+        np.asarray(batch['keypoints'])[sl], model_cfg.output_stride)
 
 
 def evaluate(dataset: PosenetDataset, train_cfg: TrainConfig, params,
@@ -183,32 +189,46 @@ def evaluate(dataset: PosenetDataset, train_cfg: TrainConfig, params,
                             output_stride=train_cfg.output_stride,
                             compute_dtype=train_cfg.compute_dtype)
     decode_cfg = DecodeConfig(min_pose_score=0.25, score_threshold=0.25)
-    eval_fn = ts.make_eval_step(model_cfg, train_cfg, mesh=mesh)
+    # Per-item metrics so the report is an exact per-image mean: the
+    # unsharded path keeps its final PARTIAL batch (weighted here by its
+    # true size, not 1/n_batches), and the mesh path's wrap-around-padded
+    # short batch carries duplicates in trailing slots (excluded here).
+    eval_fn = ts.make_eval_step(model_cfg, train_cfg, mesh=mesh,
+                                per_item=True)
     if mesh is not None:
         params = mesh_lib.replicate(params, mesh)
 
-    losses, oks_vals, map_vals = [], [], []
+    loss_sums: Dict[str, float] = {}
+    oks_sum = map_sum = 0.0
     n_images = 0
+    n_total = len(dataset)
     for batch in dataset.iter_batches(train_cfg.batch_size, shuffle=False,
                                       drop_remainder=mesh is not None,
                                       wrap_if_short=mesh is not None):
+        # shuffle=False + wrap_if_short's np.resize both preserve dataset
+        # order, so the first `real` slots of every batch are the unique
+        # not-yet-seen images and anything after is wrap padding.
+        real = min(batch['image'].shape[0], n_total - n_images)
         device_batch = {'image': batch['image'],
                         'keypoints': batch['keypoints']}
         if mesh is not None:
             device_batch = mesh_lib.shard_batch(device_batch, mesh)
-        losses.append(eval_fn(params, device_batch))
-        n_images += batch['image'].shape[0]
+        per_item = eval_fn(params, device_batch)
+        for k, v in per_item.items():
+            loss_sums[k] = loss_sums.get(k, 0.0) + float(
+                np.asarray(v)[:real].sum())
+        n_images += real
         if eval_pose_metrics:
-            oks, ap = evaluate_poses(params, batch, model_cfg, decode_cfg)
-            oks_vals.append(oks)
-            map_vals.append(ap)
+            oks, ap = evaluate_poses(params, batch, model_cfg, decode_cfg,
+                                     n_real=real)
+            oks_sum += oks * real
+            map_sum += ap * real
 
-    report = {k: float(np.mean([float(m[k]) for m in losses]))
-              for k in losses[0]} if losses else {}
+    report = {k: v / max(n_images, 1) for k, v in loss_sums.items()}
     report['n_images'] = n_images
-    if eval_pose_metrics and oks_vals:
-        report['oks'] = float(np.mean(oks_vals))
-        report['mAP'] = float(np.mean(map_vals))
+    if eval_pose_metrics and n_images:
+        report['oks'] = oks_sum / n_images
+        report['mAP'] = map_sum / n_images
     return report
 
 

@@ -211,6 +211,37 @@ def test_evaluate_standalone(tmp_path):
     assert 'oks' not in lean and np.isfinite(lean['loss'])
 
 
+def test_evaluate_weights_partial_and_wrapped_batches(tmp_path):
+    """The eval report must be an exact per-image mean: a partial final
+    batch (unsharded) and wrap-around duplicates (mesh short dataset) must
+    not skew the loss (ADVICE r3 items 1-2)."""
+    from posenet_tpu.parallel.mesh import make_mesh
+    from posenet_tpu.training.trainer import evaluate
+
+    images, kpdir = make_synthetic_dataset(str(tmp_path), n_images=3)
+    ds = PosenetDataset(images, kpdir, image_size=65, output_stride=16)
+    params = mobilenet_v1.init_params(jax.random.PRNGKey(0),
+                                      ModelConfig(model_id=50,
+                                                  output_stride=16))
+    # Oracle: batch_size=1 => every batch is one real image; the mean over
+    # batches IS the per-image mean regardless of weighting.
+    cfg1 = TrainConfig(model_id=50, output_stride=16, batch_size=1)
+    oracle = evaluate(ds, cfg1, params, eval_pose_metrics=False)
+    # Unsharded, batch_size=2 over 3 images: final batch is 1 image; an
+    # unweighted per-batch mean would weight it double.
+    cfg2 = TrainConfig(model_id=50, output_stride=16, batch_size=2)
+    got = evaluate(ds, cfg2, params, eval_pose_metrics=False)
+    assert got['n_images'] == 3
+    np.testing.assert_allclose(got['loss'], oracle['loss'], rtol=1e-5)
+    # Mesh path, dataset (3) < batch (8): one wrap-padded batch whose 5
+    # duplicate slots must not count toward n_images or the means.
+    mesh = make_mesh()
+    cfg8 = TrainConfig(model_id=50, output_stride=16, batch_size=8)
+    wrapped = evaluate(ds, cfg8, params, mesh=mesh, eval_pose_metrics=True)
+    assert wrapped['n_images'] == 3
+    np.testing.assert_allclose(wrapped['loss'], oracle['loss'], rtol=1e-5)
+
+
 def test_train_cli_eval_only(tmp_path, monkeypatch, capsys):
     """train.py --eval_only prints one JSON report line and does not write
     a checkpoint."""

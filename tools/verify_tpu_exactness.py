@@ -97,6 +97,13 @@ else:
             ulps = float((d / np.spacing(np.abs(ref[k]))).max())
             print(f'{k}: within {ulps:.0f} ulp(s) (max {d.max():.3g}) — '
                   f'expected, see module docstring')
+            if ulps > 1:
+                # Soft marker: 2 ulps is within the documented bound but
+                # exceeds the historically common 1-ulp state — grep-able
+                # so a genuine regression on a previously-1-ulp toolchain
+                # stays visible in logs without failing the run.
+                print(f'{k}: NOTE drift {ulps:.0f} ulp > historical 1 ulp '
+                      f'(soft marker, still PASS)')
             continue
         ok = False
         print(f'{k}: {np.count_nonzero(d)}/{d.size} differ, '

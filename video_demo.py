@@ -68,8 +68,6 @@ def _flush_batch(pipe, rgb_frames, bgr_frames, frame_ids, batch_size, scale,
     whole video runs through a single compiled program shape; padded slots
     are simply not read back.
     """
-    import cv2
-
     n_real = len(rgb_frames)
     batch = np.stack(rgb_frames + [rgb_frames[-1]] * (batch_size - n_real))
     out = pipe(batch)
