@@ -20,7 +20,7 @@ __all__ = [
     "PART_NAMES", "NUM_KEYPOINTS", "PART_IDS", "CONNECTED_PART_NAMES",
     "CONNECTED_PART_INDICES", "LOCAL_MAXIMUM_RADIUS", "POSE_CHAIN",
     "PARENT_CHILD_TUPLES", "NUM_EDGES", "EDGES", "PART_CHANNELS",
-    "OKS_SIGMAS",
+    "OKS_SIGMAS", "LEFT_RIGHT_SWAP",
 ]
 
 PART_NAMES = [
@@ -32,6 +32,20 @@ PART_NAMES = [
 NUM_KEYPOINTS = len(PART_NAMES)  # 17
 
 PART_IDS = {pn: pid for pid, pn in enumerate(PART_NAMES)}
+
+# Keypoint index permutation under a horizontal image flip: every left*
+# part swaps with its right* counterpart, symmetric parts map to
+# themselves. Derived from PART_NAMES so it can never drift from the
+# channel order. Used by the training flip augmentation (the reference
+# DEFINED a RandomHorizontalFlip transform but never applied it — and a
+# bare image flip without this index swap would mislabel every left/right
+# keypoint; reference train.py:458-485, SURVEY.md Appendix B8).
+LEFT_RIGHT_SWAP = np.asarray([
+    PART_IDS["right" + n[4:]] if n.startswith("left")
+    else PART_IDS["left" + n[5:]] if n.startswith("right")
+    else i
+    for i, n in enumerate(PART_NAMES)
+], dtype=np.int32)
 
 # Pairs of keypoints drawn as skeleton line segments (reference
 # constants.py:12-21). Order preserved for identical overlay rendering.

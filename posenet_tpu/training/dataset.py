@@ -30,6 +30,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from posenet_tpu.constants import LEFT_RIGHT_SWAP
 from posenet_tpu.preprocess import read_imgfile, valid_resolution
 from posenet_tpu.training.ground_truth import (MAX_NUM_POSES,
                                                load_ground_truth_data, to_yx)
@@ -52,9 +53,10 @@ class PosenetDataset:
     def __init__(self, image_dir: str, keypoints_dir: str,
                  image_size: int = 513, output_stride: int = 16,
                  scale_factor: float = 1.0, cache_images: bool = True,
-                 num_workers: int = 4):
+                 num_workers: int = 4, augment_flip: bool = False):
         self.image_dir = image_dir
         self.keypoints_dir = keypoints_dir
+        self.augment_flip = augment_flip
         if scale_factor != 1.0:
             # Reference semantics (read_imgfile: scale, then snap to the
             # stride-valid grid). Everything downstream — the resize in
@@ -136,7 +138,8 @@ class PosenetDataset:
             'filename': self.files[idx],
         }
 
-    def _make_batch(self, idxs, pool: Optional[ThreadPoolExecutor]
+    def _make_batch(self, idxs, pool: Optional[ThreadPoolExecutor],
+                    flips: Optional[np.ndarray] = None
                     ) -> Dict[str, np.ndarray]:
         idxs = [int(i) for i in idxs]
         if pool is not None:
@@ -144,11 +147,40 @@ class PosenetDataset:
         else:
             frames = [self._load_u8(i) for i in idxs]
         images = np.stack(frames).astype(np.float32) * (2.0 / 255.0) - 1.0
+        keypoints = self.keypoints[idxs]  # advanced indexing -> fresh copy
+        if flips is not None and flips.any():
+            self._apply_flip(images, keypoints, flips)
         return {
             'image': images,
-            'keypoints': self.keypoints[idxs],
+            'keypoints': keypoints,
             'filenames': [self.files[i] for i in idxs],
         }
+
+    def _apply_flip(self, images: np.ndarray, keypoints: np.ndarray,
+                    flips: np.ndarray) -> None:
+        """Horizontal-flip augmentation, applied in place to a stacked batch.
+
+        The reference DEFINED a RandomHorizontalFlip transform it never
+        applied (train.py:458-485, SURVEY.md Appendix B8) — and a bare
+        image flip would have silently mislabeled every left/right
+        keypoint. A correct flip is three coupled transforms:
+          1. image x-mirror,
+          2. keypoint x-mirror on the output grid: x' = (R-1) - x
+             (pixel mirror (S-1)-x_px divided by the stride, using
+             R = (S-1)/stride + 1),
+          3. keypoint CHANNEL permutation: left* parts swap with right*
+             (constants.LEFT_RIGHT_SWAP, derived from PART_NAMES).
+        Sentinel slots ((0,0) unlabeled / (-1,-1) padding) pass through
+        untouched — same detection rule as the grid rescale in __init__.
+        """
+        f = np.flatnonzero(flips)
+        images[f] = images[f][:, :, ::-1]
+        k = keypoints[f][:, :, LEFT_RIGHT_SWAP, :]
+        sentinel = np.all((k == 0) | (k == -1), axis=-1, keepdims=True)
+        r = (self.image_size - 1) // self.output_stride + 1
+        mirrored = k.copy()
+        mirrored[..., 1] = (r - 1) - k[..., 1]
+        keypoints[f] = np.where(sentinel, k, mirrored)
 
     def iter_batches(self, batch_size: int, shuffle: bool = True,
                      seed: int = 0, drop_remainder: bool = True,
@@ -163,6 +195,12 @@ class PosenetDataset:
         `wrap_if_short` makes drop_remainder yield ONE wrap-around-padded
         batch instead of zero when the dataset is smaller than
         `batch_size` (sharded eval needs mesh-divisible batches).
+
+        With `augment_flip=True` each SLOT in the epoch is horizontally
+        flipped with probability 1/2, decided by a deterministic RNG
+        derived from `seed` — so a given (seed, epoch) replays exactly
+        (prefetch on/off identical) while different epochs see different
+        flip patterns (the trainer passes seed + epoch).
         """
         order = np.arange(len(self))
         if shuffle:
@@ -177,11 +215,22 @@ class PosenetDataset:
         n = (n_items // batch_size * batch_size if drop_remainder
              else n_items)
         starts = range(0, n, batch_size)
+        # Per-slot flip decisions for the whole epoch, fixed up front so
+        # sync and prefetched iteration produce identical batches. The
+        # seed is decorrelated from the shuffle stream (which already
+        # consumed RandomState(seed)).
+        flip_mask = (np.random.RandomState(seed + 0x5F1B).rand(n) < 0.5
+                     if self.augment_flip else None)
+
+        def batch_flips(start):
+            return (None if flip_mask is None
+                    else flip_mask[start:start + batch_size])
 
         if prefetch <= 0:
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for start in starts:
-                    yield self._make_batch(order[start:start + batch_size], pool)
+                    yield self._make_batch(order[start:start + batch_size],
+                                           pool, batch_flips(start))
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
@@ -193,7 +242,7 @@ class PosenetDataset:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for start in starts:
                         item = self._make_batch(order[start:start + batch_size],
-                                                pool)
+                                                pool, batch_flips(start))
                         # bounded put that aborts if the consumer went away
                         # (abandoned generator) so this thread can't block
                         # forever on a full queue

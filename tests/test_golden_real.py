@@ -9,9 +9,14 @@ gap automatically in any future environment WITH egress:
    (cold path, reference model_factory.py:11-23 semantics),
 2. fetches the 24 canonical COCO images,
 3. decodes them with model 101 stride 16,
-4. compares against committed goldens at tests/golden/real_weights.json —
-   or, on the first networked run, WRITES the goldens and skips with an
-   instruction to commit them.
+4. cross-checks every image DIRECTLY against the torch reference running
+   the same converted weights (tests/reference_oracle.py) — a true parity
+   test: a systematic real-weights divergence fails immediately instead of
+   being baked into a self-generated golden,
+5. AND compares against committed goldens at tests/golden/real_weights.json
+   as a second, regression layer — on the first networked run it WRITES
+   the goldens and skips with an instruction to commit them (the torch
+   cross-check in step 4 has already validated them at that point).
 
 Offline it skips in <1s (socket probe, no JAX work).
 """
@@ -93,6 +98,37 @@ def test_real_weights_golden_decode(real_setup):
             'coords': np.round(kc[:n], 2).tolist(),
         }
 
+    # --- layer 1: TRUE parity — the torch reference running the SAME
+    # freshly converted real weights is the oracle for every image
+    # (reference model_factory.py:11-23 + decode_multi.py:61-148). This
+    # catches a systematic real-weights divergence that a self-generated
+    # golden would silently pin.
+    from tests.reference_oracle import (has_reference, reference_decode,
+                                        reference_forward)
+    if has_reference():
+        f32_params = jax.tree.map(
+            lambda a: np.asarray(a, dtype=np.float32), params)
+        for fname in images:
+            input_image, _, output_scale = read_imgfile(
+                os.path.join(image_dir, fname), 1.0, 16)
+            ref_heads = reference_forward(f32_params, input_image, 101, 16)
+            ref_ps, _, ref_kc, _ = reference_decode(
+                *[h[0] for h in ref_heads], 16,
+                max_pose_detections=10, score_threshold=0.25,
+                min_pose_score=0.25)
+            ref_kc = np.asarray(ref_kc) * output_scale
+            ref_n = int((np.asarray(ref_ps) > 0).sum())
+            r = results[fname]
+            assert r['n_poses'] == ref_n, (fname, r['n_poses'], ref_n)
+            np.testing.assert_allclose(
+                r['pose_scores'], np.asarray(ref_ps)[:ref_n], atol=1e-3,
+                err_msg=f"torch-oracle pose scores diverge on {fname}")
+            if ref_n:
+                dev = np.linalg.norm(
+                    np.asarray(r['coords']) - ref_kc[:ref_n], axis=-1)
+                assert dev.mean() <= 1.0, (fname, dev.mean())
+
+    # --- layer 2: committed-golden regression ---
     if not os.path.exists(GOLDEN_PATH):
         os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
         with open(GOLDEN_PATH, 'w') as f:

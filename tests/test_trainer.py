@@ -415,3 +415,75 @@ def test_dataset_scale_factor_applied(tmp_path):
     np.testing.assert_allclose(half.keypoints[0][valid],
                                full.keypoints[0][valid] * (17 / 33),
                                rtol=1e-5)
+
+
+def test_left_right_swap_constant():
+    """LEFT_RIGHT_SWAP is an involution mapping every left* part to its
+    right* counterpart (8 pairs) and fixing the nose."""
+    from posenet_tpu.constants import LEFT_RIGHT_SWAP, PART_NAMES
+    swap = np.asarray(LEFT_RIGHT_SWAP)
+    np.testing.assert_array_equal(swap[swap], np.arange(17))
+    for i, name in enumerate(PART_NAMES):
+        j = int(swap[i])
+        if name.startswith('left'):
+            assert PART_NAMES[j] == 'right' + name[4:]
+        elif name.startswith('right'):
+            assert PART_NAMES[j] == 'left' + name[5:]
+        else:
+            assert j == i
+    assert int((swap != np.arange(17)).sum()) == 16  # 8 left/right pairs
+
+
+def test_dataset_flip_augmentation(tmp_path):
+    """augment_flip: a per-slot coin mirrors the image, x-mirrors keypoints
+    on the output grid, and swaps left/right channels; sentinels pass
+    through untouched; deterministic per seed and prefetch-invariant."""
+    from posenet_tpu.constants import LEFT_RIGHT_SWAP
+
+    images, kpdir = make_synthetic_dataset(str(tmp_path), n_images=8)
+    ds_plain = PosenetDataset(images, kpdir, image_size=65, output_stride=16)
+    ds_flip = PosenetDataset(images, kpdir, image_size=65, output_stride=16,
+                             augment_flip=True)
+
+    plain = list(ds_plain.iter_batches(4, shuffle=True, seed=7, prefetch=0))
+    flip = list(ds_flip.iter_batches(4, shuffle=True, seed=7, prefetch=0))
+    r = (65 - 1) // 16 + 1
+    n_flipped = 0
+    for pb, fb in zip(plain, flip):
+        assert pb['filenames'] == fb['filenames']
+        for i in range(4):
+            img_p, img_f = pb['image'][i], fb['image'][i]
+            kp_p, kp_f = pb['keypoints'][i], fb['keypoints'][i]
+            if np.array_equal(img_p, img_f):
+                np.testing.assert_array_equal(kp_p, kp_f)
+                continue
+            n_flipped += 1
+            np.testing.assert_array_equal(img_f, img_p[:, ::-1])
+            expected = kp_p[:, LEFT_RIGHT_SWAP, :].copy()
+            live = ~np.all((expected == 0) | (expected == -1), axis=-1)
+            expected[live, 1] = (r - 1) - expected[live, 1]
+            np.testing.assert_allclose(kp_f, expected, rtol=1e-6)
+    assert 0 < n_flipped < 8  # the coin actually lands both ways
+
+    # same seed replays bit-identically through the prefetch path
+    flip2 = list(ds_flip.iter_batches(4, shuffle=True, seed=7, prefetch=2))
+    for a, b in zip(flip, flip2):
+        np.testing.assert_array_equal(a['image'], b['image'])
+        np.testing.assert_array_equal(a['keypoints'], b['keypoints'])
+
+
+def test_train_loop_with_flip_augmentation(tmp_path):
+    """Training with augment_flip on still reduces the loss (the soak for
+    the capability the reference attempted but never shipped)."""
+    images, kpdir = make_synthetic_dataset(str(tmp_path))
+    ds = PosenetDataset(images, kpdir, image_size=65, output_stride=16,
+                        augment_flip=True)
+    cfg = TrainConfig(model_id=50, output_stride=16, batch_size=2,
+                      learning_rate=3e-3, num_epochs=4,
+                      checkpoint_dir=str(tmp_path / "ckpt"))
+    logger = MetricLogger(verbose=False)
+    train(ds, None, cfg, logger=logger, resume=False,
+          eval_pose_metrics=False)
+    hist = logger.history
+    assert np.isfinite([h['train_loss'] for h in hist]).all()
+    assert hist[-1]['train_loss'] < hist[0]['train_loss']

@@ -42,6 +42,11 @@ def parse_args():
     parser.add_argument('--gt_format', type=str, default='dataloop',
                         choices=['dataloop', 'roboflow'])
     parser.add_argument('--allow_random_init', action='store_true')
+    parser.add_argument('--augment_flip', action='store_true',
+                        help='random horizontal-flip training augmentation '
+                             '(image + keypoint x-mirror + left/right '
+                             'keypoint channel swap; the reference defined '
+                             'this transform but never applied it)')
     parser.add_argument('--no_pose_metrics', action='store_true')
     parser.add_argument('--distributed', action='store_true',
                         help='multi-host: join the jax.distributed runtime '
@@ -113,7 +118,8 @@ def main():
     train_ds = PosenetDataset(args.train_image_dir, args.keypoint_dir,
                               image_size=args.image_size,
                               output_stride=args.output_stride,
-                              scale_factor=args.scale_factor)
+                              scale_factor=args.scale_factor,
+                              augment_flip=args.augment_flip)
     try:
         test_ds = PosenetDataset(args.test_image_dir, args.keypoint_dir,
                                  image_size=args.image_size,
