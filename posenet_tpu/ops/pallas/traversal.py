@@ -88,12 +88,9 @@ from jax.experimental.pallas import tpu as pltpu
 from posenet_tpu.constants import NUM_EDGES, NUM_KEYPOINTS
 
 # Per-image VMEM for the split tables, bytes: 17*(W*9) + 2*16*(W*6) bf16
-# columns per row = H*W*(153+192)*2. (v2/v3 per-target layout.)
+# columns per row = H*W*(153+192)*2. (Shared per-target layout — all kernel
+# versions consume the same tables; v4 assembles its level blocks in-kernel.)
 _TABLE_BYTES_PER_CELL = (NUM_KEYPOINTS * 9 + 2 * NUM_EDGES * 6) * 2
-# v4 stacks sov PER EDGE for both passes (2*16*9W) instead of per target
-# (17*9W), so its footprint is ~1.4x larger — bill it honestly in the
-# group sweep or the 24 MB budget invariant is silently exceeded.
-_TABLE_BYTES_PER_CELL_V4 = (2 * NUM_EDGES * 9 + 2 * NUM_EDGES * 6) * 2
 # Pipeline double-buffers input blocks; the GROUP SWEEP keeps
 # 2*group*tables under this conservative cap so small/medium grids keep
 # their measured-good group configs.
@@ -145,12 +142,24 @@ def _per_group_tables(table, h, w, n_fields, n_groups):
     relayout is a well-tiled XLA transpose; the original interleaved layout
     (col = x*3F + 3*split + field) transposed with F=2..3 innermost and ran
     ~3x slower. The kernel is layout-agnostic — its column map and field
-    group matrix are host constants built to match."""
+    group matrix are host constants built to match.
+
+    The exact 3-way bf16 split (reduce_precision chain, see _split3's
+    note on excess precision) runs FIRST, in the source NHWC-like layout:
+    it is elementwise, so XLA fuses it into the producer, and the big
+    G-to-rows / W-to-lanes relayout then moves 2-byte bf16 pieces instead
+    of 4-byte f32 — half the transpose traffic of the split-last order
+    this replaced. Values are identical either way (the split is
+    elementwise and the moves are pure permutations)."""
     b = table.shape[0]
     t = table.reshape(b, h, w, n_fields, n_groups)
-    t = jnp.transpose(t, (0, 4, 1, 3, 2))            # (B, G, H, F, W)
-    t = _split3(t)                                   # (B, G, H, F, 3W)
-    return t.reshape(b, n_groups, h, 3 * n_fields * w)
+    hi = lax.reduce_precision(t, exponent_bits=8, mantissa_bits=7)
+    r = t - hi
+    mid = lax.reduce_precision(r, exponent_bits=8, mantissa_bits=7)
+    lo = r - mid
+    s = jnp.stack([hi, mid, lo], axis=3).astype(jnp.bfloat16)
+    s = jnp.transpose(s, (0, 5, 1, 4, 3, 2))         # (B, G, H, F, S, W)
+    return s.reshape(b, n_groups, h, 3 * n_fields * w)
 
 
 def _traversal_kernel_v3(colmap9_ref, colmap6_ref, g9t_ref, g6t_ref,
@@ -281,7 +290,7 @@ def _level_metadata():
 
 
 def _traversal_kernel_v4(colmap9_ref, colmap6_ref, g9t_ref, g6t_ref,
-                         sov_bwd_ref, sov_fwd_ref, dbwd_ref, dfwd_ref,
+                         sov_ref, dfwd_ref, dbwd_ref,
                          cand_scores_ref, cand_kp_ref, root_y_ref, root_x_ref,
                          out_scores_ref, out_cy_ref, out_cx_ref,
                          out_oy_ref, out_ox_ref,
@@ -291,20 +300,28 @@ def _traversal_kernel_v4(colmap9_ref, colmap6_ref, g9t_ref, g6t_ref,
 
     The kinematic tree has depth 4, so each pass is 4 dependency levels of
     2-6 independent edges. A whole level fetches in ONE one-hot matmul
-    pair via the block-diagonal trick: the host stacks the level's
-    per-target (or per-edge) tables along the ROW axis — level block
+    pair via the block-diagonal trick: the level's per-target (or
+    per-edge) tables stack along the ROW axis — level block
     (L*H, W*nf3) — and each edge j's candidates get row ids offset by
     j*H, so a single (L*H, L*K) one-hot contracts into per-edge fetches
     with zero cross-talk (off-diagonal blocks are exact 0.0 products).
     Sequential MXU dependency chain drops 4x; lane width grows to L*K
     (up to 768), which the VPU/MXU process at full tilt.
 
+    The level blocks are assembled IN-KERNEL by concatenating static
+    slices of the same shared (G, H, W*nf3) tables v3 reads — tiny VMEM
+    copies (~100 KB/level). The first version instead had the host
+    pre-stack per-edge copies of the sov table for both passes, which
+    duplicated it 2x16/17 ways in HBM (~80 MB written + re-read per
+    batch-128) and showed up as ~0.9 ms of pure relayout copies in the
+    fused-program profile (tools/profile_fused.py).
+
     Exactness: identical argument to v2/v3 (every product is 0/1 times a
     bf16 split piece, f32 accumulation, non-overlapping significands), and
     level-batched fill gating equals sequential gating (_level_metadata)."""
     for g in range(group):
         _traverse_one_v4(colmap9_ref, colmap6_ref, g9t_ref, g6t_ref,
-                         sov_bwd_ref, sov_fwd_ref, dbwd_ref, dfwd_ref,
+                         sov_ref, dfwd_ref, dbwd_ref,
                          cand_scores_ref, cand_kp_ref, root_y_ref, root_x_ref,
                          out_scores_ref, out_cy_ref, out_cx_ref,
                          out_oy_ref, out_ox_ref,
@@ -312,7 +329,7 @@ def _traversal_kernel_v4(colmap9_ref, colmap6_ref, g9t_ref, g6t_ref,
 
 
 def _traverse_one_v4(colmap9_ref, colmap6_ref, g9t_ref, g6t_ref,
-                     sov_bwd_ref, sov_fwd_ref, dbwd_ref, dfwd_ref,
+                     sov_ref, dfwd_ref, dbwd_ref,
                      cand_scores_ref, cand_kp_ref, root_y_ref, root_x_ref,
                      out_scores_ref, out_cy_ref, out_cx_ref,
                      out_oy_ref, out_ox_ref,
@@ -356,8 +373,7 @@ def _traverse_one_v4(colmap9_ref, colmap6_ref, g9t_ref, g6t_ref,
 
     bwd_levels, fwd_levels = _level_metadata()
 
-    def run_pass(levels, sov_ref, disp_ref):
-        offset = 0  # level block start row (in units of H) within the pass
+    def run_pass(levels, disp_ref):
         for (edges, sources, targets) in levels:
             L = len(edges)
             fills = [(scores[s] > 0.0) & (scores[t] == 0.0)
@@ -371,7 +387,11 @@ def _traverse_one_v4(colmap9_ref, colmap6_ref, g9t_ref, g6t_ref,
                               ).astype(jnp.int32)
                 src_iy.append(iy + j * h)
                 src_ix.append(ix)
-            dlvl = disp_ref[g, offset * h:(offset + L) * h, :]    # (L*H, W6)
+            # Level block from the shared tables: static per-edge slices,
+            # stacked on rows (see kernel docstring — this replaces the
+            # host-side duplicated stacking).
+            dlvl = jnp.concatenate([disp_ref[g, e] for e in edges],
+                                   axis=0)                        # (L*H, W6)
             dvals = fetch_level(dlvl, col_of6, g6t,
                                 jnp.concatenate(src_iy, axis=1),
                                 jnp.concatenate(src_ix, axis=1), L)  # (2, LK)
@@ -386,7 +406,8 @@ def _traverse_one_v4(colmap9_ref, colmap6_ref, g9t_ref, g6t_ref,
                 txs.append(tx)
                 tgt_iy.append(ty.astype(jnp.int32) + j * h)
                 tgt_ix.append(tx.astype(jnp.int32))
-            slvl = sov_ref[g, offset * h:(offset + L) * h, :]     # (L*H, W9)
+            slvl = jnp.concatenate([sov_ref[g, t] for t in targets],
+                                   axis=0)                        # (L*H, W9)
             svals = fetch_level(slvl, col_of9, g9t,
                                 jnp.concatenate(tgt_iy, axis=1),
                                 jnp.concatenate(tgt_ix, axis=1), L)  # (3, LK)
@@ -402,10 +423,8 @@ def _traverse_one_v4(colmap9_ref, colmap6_ref, g9t_ref, g6t_ref,
                 cx[t] = jnp.where(fill, txs[j] * stride + oxn, cx[t])
                 oy[t] = jnp.where(fill, oyn, oy[t])
                 ox[t] = jnp.where(fill, oxn, ox[t])
-            offset += L
-
-    run_pass(bwd_levels, sov_bwd_ref, dbwd_ref)
-    run_pass(fwd_levels, sov_fwd_ref, dfwd_ref)
+    run_pass(bwd_levels, dbwd_ref)
+    run_pass(fwd_levels, dfwd_ref)
 
     out_scores_ref[g] = jnp.concatenate(scores, axis=0)           # (17, K)
     out_cy_ref[g] = jnp.concatenate(cy, axis=0)
@@ -570,8 +589,7 @@ def traverse_all_candidates_pallas(
         # 65x65).
         version = 4 if h * w <= 4300 else 3
 
-    per_img = h * w * (_TABLE_BYTES_PER_CELL_V4 if version == 4
-                       else _TABLE_BYTES_PER_CELL)
+    per_img = h * w * _TABLE_BYTES_PER_CELL
     group = 1
     # Images per program (v5e measurements, 33x33 grid): deep grids hide
     # per-program pipeline overhead, so group=2 suffices at b>=64 (g=4 is
@@ -629,38 +647,16 @@ def traverse_all_candidates_pallas(
         g6t = jnp.asarray(
             (np.arange(2)[:, None] == np.arange(w * 6)[None, :] // (3 * w)),
             jnp.bfloat16)
-        # Level-stacked tables: edge axis reordered into level order and
-        # folded into rows, so the kernel's per-level block is a contiguous
-        # static row slice (see _traverse_one_v4).
-        bwd_levels, fwd_levels = _level_metadata()
-        bwd_edge_order = [e for lvl in bwd_levels for e in lvl[0]]
-        bwd_tgt_order = [t for lvl in bwd_levels for t in lvl[2]]
-        fwd_edge_order = [e for lvl in fwd_levels for e in lvl[0]]
-        fwd_tgt_order = [t for lvl in fwd_levels for t in lvl[2]]
-        sov_bwd = sov_t[:, np.asarray(bwd_tgt_order)].reshape(
-            b, NUM_EDGES * h, w * 9)
-        sov_fwd = sov_t[:, np.asarray(fwd_tgt_order)].reshape(
-            b, NUM_EDGES * h, w * 9)
-        dbwd_lvl = dbwd_t[:, np.asarray(bwd_edge_order)].reshape(
-            b, NUM_EDGES * h, w * 6)
-        dfwd_lvl = dfwd_t[:, np.asarray(fwd_edge_order)].reshape(
-            b, NUM_EDGES * h, w * 6)
+        # Same shared tables as v3 — the kernel assembles level blocks from
+        # static per-edge slices itself (see _traversal_kernel_v4).
         in_specs = [
             pl.BlockSpec((w * 9, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((w * 6, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, w * 9), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, w * 6), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, NUM_EDGES * h, w * 9),
-                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, NUM_EDGES * h, w * 9),
-                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, NUM_EDGES * h, w * 6),
-                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, NUM_EDGES * h, w * 6),
-                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ] + cand_specs
+        ] + table_specs + cand_specs
         const_args = (colmap9, colmap6, g9t, g6t)
-        table_args = (sov_bwd, sov_fwd, dbwd_lvl, dfwd_lvl)
+        table_args = (sov_t, dfwd_t, dbwd_t)
     elif version == 3:
         kernel = functools.partial(_traversal_kernel_v3, h=h, w=w, k=k,
                                    stride=float(output_stride), group=group)
