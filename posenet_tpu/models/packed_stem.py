@@ -66,6 +66,33 @@ tiling pads C=64 lanes 2x and C=32 4x, and layers 0-1 cost 9.1 ms of the
 18.2 ms trunk mostly in padded HBM traffic. The fix needs either an XLA
 that fuses elementwise chains on TPU or a Mosaic with sublane-fold
 relayouts; neither exists in this toolchain today.
+
+ROUND-4 RE-PROBE (the VERDICT's "one probe at the last trunk lever" — a
+fused multi-layer pallas dw+pw chain over the stem, zero XLA convs
+between kernels). Design analysis first, then the measurement:
+
+A chain spanning L1+L2 (the 257^2 C=32/64 block) has a ~1.4 ms
+traffic+compute floor against ~9 ms of XLA cost — IF its HBM tensors are
+lane-dense. The entry tensor is the blocker: conv0's (B,257,257,32)
+output is physically lane-padded 4x in HBM no matter who reads it, so
+the chain must start at the IMAGE (whose dense (B,H,W*3) layout the host
+CAN provide for free) and therefore include conv0 (C_in=3: MXU-hostile,
+VPU-affordable only in a channel-planar or interleaved-lane layout).
+Either way, the pw convs need pixels-on-sublanes/channels-on-lanes for
+the MXU, and the dw/conv0 taps need width-on-lanes — so SOME in-VMEM
+lane<->sublane refold of (TR, W*C) <-> (TR*W, C) is unavoidable. That
+refold is the single primitive everything hangs on.
+
+Measured 2026-08-19 (tools/probe_mosaic_refold.py, real chip, current
+toolchain): reshape (8,8192)->(2048,32) lane->sublane FAILS to lower
+(Mosaic INTERNAL error), the inverse fold FAILS, a strided lane slice
+x[:,:,0] of a (8,256,32) view FAILS; only the one-hot-matmul
+de-interleave fallback compiles — and a per-channel one-hot pull of a
+32-channel tile costs a (W*C, W) matmul per channel, a >30x FLOP
+inflation that loses by construction. Conclusion unchanged and now
+re-dated: the multi-layer pallas stem chain is blocked at the Mosaic
+primitive level on this toolchain; re-probe (the tool is kept) only
+after a libtpu/Mosaic upgrade.
 """
 
 from __future__ import annotations
