@@ -112,7 +112,9 @@ class PoseNetPipeline:
           mesh: optional device mesh with a 'data' axis.
           partition: how to spread work over the mesh —
             'data': batch axis sharded (throughput serving; no cross-chip
-              traffic).
+              traffic). Runs per-shard under shard_map so each chip keeps
+              the pallas decode kernel; uneven batches are zero-padded to
+              the mesh multiple and the pad rows sliced off the outputs.
             'spatial': image HEIGHT sharded — the sequence-parallel analog
               for CNNs (SURVEY.md §2.3: spatial extent plays the role of
               context length). XLA GSPMD inserts the conv halo exchanges
@@ -128,14 +130,18 @@ class PoseNetPipeline:
             already at the processing resolution).
         """
         self.model = model
-        if mesh is not None and decode_cfg.use_pallas is None:
-            # pallas_call has no GSPMD partitioning rule: inside a
-            # mesh-sharded jit the Mosaic custom call would either fail to
-            # partition or force the decode to be all-gathered and
-            # replicated on every chip. The XLA traversal path shards
-            # cleanly and is equally reference-exact on TPU (PARITY.md),
-            # so auto resolves to it under a mesh. An explicit
-            # use_pallas=True is honored (single-device meshes work).
+        if (mesh is not None and partition == 'spatial'
+                and decode_cfg.use_pallas is None):
+            # Spatial partition runs ONE GSPMD program over H-sharded
+            # activations, and pallas_call has no GSPMD partitioning rule:
+            # the Mosaic custom call would either fail to partition or
+            # force the decode to be all-gathered and replicated on every
+            # chip. The XLA traversal path shards cleanly and is equally
+            # reference-exact on TPU (PARITY.md), so auto resolves to it
+            # here. An explicit use_pallas=True is honored (single-device
+            # meshes work). The DATA partition does NOT need this: it runs
+            # per-shard under shard_map (below), where each device traces
+            # its own pallas_call on its local batch shard.
             decode_cfg = dataclasses.replace(decode_cfg, use_pallas=False)
         self.decode_cfg = decode_cfg
         self.mesh = mesh
@@ -179,13 +185,34 @@ class PoseNetPipeline:
                                        decode_cfg=decode_cfg)
             else:
                 in_spec = P('data')
-                if device_resize_to is not None:
-                    fn = functools.partial(
-                        _infer_raw, target_hw=tuple(device_resize_to),
-                        cfg=model.cfg, decode_cfg=decode_cfg)
-                else:
-                    fn = functools.partial(_infer, cfg=model.cfg,
-                                           decode_cfg=decode_cfg)
+
+                def make_fn(dcfg):
+                    if device_resize_to is not None:
+                        return functools.partial(
+                            _infer_raw, target_hw=tuple(device_resize_to),
+                            cfg=model.cfg, decode_cfg=dcfg)
+                    return functools.partial(_infer, cfg=model.cfg,
+                                             decode_cfg=dcfg)
+
+                # Data-parallel path: shard_map runs the fused program
+                # once PER DEVICE on its batch shard (inference is
+                # embarrassingly parallel over the batch — zero cross-chip
+                # traffic), so each shard traces its OWN pallas_call and
+                # multi-chip serving keeps the Mosaic traversal kernel
+                # (2.8x faster than the XLA path at large per-chip
+                # batches, PARITY.md) instead of losing it to GSPMD's
+                # missing custom-call partitioning rule. shard_map needs
+                # the batch to divide over the mesh; __call__ zero-pads
+                # uneven batches up and slices the outputs back.
+                # check_vma=False: the program is a pure per-shard map
+                # with zero collectives, but the varying-manual-axes
+                # checker rejects the decode's while_loop (its zeros()
+                # init is unvarying while the body output varies over
+                # 'data'); threading pvary through decode internals would
+                # couple them to shard_map for no soundness gain here.
+                fn = jax.shard_map(make_fn(decode_cfg), mesh=mesh,
+                                   in_specs=(P(), in_spec),
+                                   out_specs=in_spec, check_vma=False)
             in_sharding = jax.sharding.NamedSharding(mesh, in_spec)
             replicated = jax.sharding.NamedSharding(mesh, P())
             self.params = jax.device_put(model.params, replicated)
@@ -225,6 +252,15 @@ class PoseNetPipeline:
             if pad_h:
                 frames = jnp.pad(frames, ((0, 0), (0, pad_h), (0, 0), (0, 0)))
             return self._fn(self.params, frames, crop_r, h)
+        b = frames.shape[0]
+        pad_b = (-b) % self._n_shards
+        if pad_b:
+            # shard_map needs batch % mesh == 0: run the padded batch and
+            # slice the pose buffers back (pad frames are zeros; their
+            # decode output is dropped).
+            frames = jnp.pad(frames, ((0, pad_b),) + ((0, 0),) * 3)
+            out = self._fn(self.params, frames)
+            return jax.tree.map(lambda a: a[:b], out)
         return self._fn(self.params, frames)
 
     def warmup(self, input_hw: Tuple[int, int], batch: int = 1):

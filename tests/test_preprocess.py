@@ -311,10 +311,13 @@ def test_initialize_distributed_already_initialized_old_jax(monkeypatch):
 
 
 def test_pipeline_mesh_resolves_pallas_off():
-    """Under a mesh, auto use_pallas must resolve to the XLA path:
-    pallas_call has no GSPMD partitioning rule, so inside a sharded jit it
-    would force replication (or fail to partition) on a real multi-chip
-    TPU. An explicit setting is honored unchanged."""
+    """SPATIAL partition under a mesh must resolve auto use_pallas to the
+    XLA path: it runs one GSPMD program over H-sharded activations and
+    pallas_call has no GSPMD partitioning rule. The DATA partition keeps
+    auto (None): it runs per-shard under shard_map, where every device
+    traces its own pallas_call on its local batch shard — multi-chip
+    serving keeps the Mosaic traversal kernel. An explicit setting is
+    honored unchanged."""
     from posenet_tpu.config import DecodeConfig
     from posenet_tpu.models import load_model
     from posenet_tpu.parallel.mesh import make_mesh
@@ -323,8 +326,34 @@ def test_pipeline_mesh_resolves_pallas_off():
     mesh = make_mesh(8)
     model = load_model(50, output_stride=16, allow_random_init=True)
     auto = DecodeConfig(min_pose_score=0.0)
-    assert PoseNetPipeline(model, auto, mesh=mesh).decode_cfg.use_pallas is False
+    assert PoseNetPipeline(model, auto, mesh=mesh,
+                           partition='spatial').decode_cfg.use_pallas is False
+    assert PoseNetPipeline(model, auto,
+                           mesh=mesh).decode_cfg.use_pallas is None
     assert PoseNetPipeline(model, auto).decode_cfg.use_pallas is None
     explicit = DecodeConfig(min_pose_score=0.0, use_pallas=True)
-    assert PoseNetPipeline(model, explicit,
-                           mesh=mesh).decode_cfg.use_pallas is True
+    assert PoseNetPipeline(model, explicit, mesh=mesh,
+                           partition='spatial').decode_cfg.use_pallas is True
+
+
+def test_pipeline_data_partition_uneven_batch():
+    """A batch that does not divide over the mesh must still decode
+    (shard_map needs divisibility; the pipeline zero-pads the batch up
+    and slices the outputs back) and must equal the unsharded pipeline."""
+    from posenet_tpu.config import DecodeConfig
+    from posenet_tpu.models import load_model
+    from posenet_tpu.parallel.mesh import make_mesh
+    from posenet_tpu.pipeline import PoseNetPipeline
+
+    mesh = make_mesh(8)
+    model = load_model(50, output_stride=16, allow_random_init=True)
+    dcfg = DecodeConfig(min_pose_score=0.0, score_threshold=0.3,
+                        max_candidates=32)
+    frames = np.random.RandomState(21).randint(
+        0, 255, (3, 65, 65, 3), dtype=np.uint8)  # 3 % 8 != 0
+    sharded = PoseNetPipeline(model, dcfg, mesh=mesh)(frames)
+    plain = PoseNetPipeline(model, dcfg)(frames)
+    np.testing.assert_allclose(np.asarray(sharded.pose_scores),
+                               np.asarray(plain.pose_scores), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sharded.keypoint_coords),
+                               np.asarray(plain.keypoint_coords), atol=1e-4)
