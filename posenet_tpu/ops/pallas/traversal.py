@@ -117,22 +117,6 @@ def _hop_metadata():
     return flat(_BWD_LEVELS), flat(_FWD_LEVELS)
 
 
-def _split3(x):
-    """Exact 3-way bf16 decomposition along the last axis: for f32 input,
-    concat(hi, mid, lo) with x == hi + mid + lo exactly.
-
-    Rounding to the bf16 grid uses lax.reduce_precision, NOT an
-    f32->bf16->f32 cast pair: this runs host-side under XLA, where
-    --xla_allow_excess_precision=true (set on this TPU runtime) elides the
-    round-trip cast, silently zeroing the mid/lo residuals."""
-    hi = lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
-    r = x - hi
-    mid = lax.reduce_precision(r, exponent_bits=8, mantissa_bits=7)
-    lo = r - mid
-    return jnp.concatenate([hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
-                            lo.astype(jnp.bfloat16)], axis=-1)
-
-
 def _per_group_tables(table, h, w, n_fields, n_groups):
     """(B, H*W, n_fields*n_groups) f32 with column = n_groups*f + g  ->
     (B, n_groups, H, 3*n_fields*W) bf16 split tables in BLOCK layout:
@@ -144,8 +128,11 @@ def _per_group_tables(table, h, w, n_fields, n_groups):
     ~3x slower. The kernel is layout-agnostic — its column map and field
     group matrix are host constants built to match.
 
-    The exact 3-way bf16 split (reduce_precision chain, see _split3's
-    note on excess precision) runs FIRST, in the source NHWC-like layout:
+    The exact 3-way bf16 split (x == hi + mid + lo exactly; each piece
+    rounds to the bf16 grid with lax.reduce_precision, NOT an
+    f32->bf16->f32 cast pair — under --xla_allow_excess_precision=true,
+    set on this TPU runtime, XLA elides the round-trip cast and silently
+    zeroes the mid/lo residuals) runs FIRST, in the source NHWC-like layout:
     it is elementwise, so XLA fuses it into the producer, and the big
     G-to-rows / W-to-lanes relayout then moves 2-byte bf16 pieces instead
     of 4-byte f32 — half the transpose traffic of the split-last order

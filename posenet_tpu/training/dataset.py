@@ -172,19 +172,31 @@ class PosenetDataset:
              (constants.LEFT_RIGHT_SWAP, derived from PART_NAMES).
         Sentinel slots ((0,0) unlabeled / (-1,-1) padding) pass through
         untouched — same detection rule as the grid rescale in __init__.
+
+        Collision guard: a REAL keypoint at grid (y=0, x=R-1) would
+        mirror exactly onto the (0,0) unlabeled sentinel and silently
+        lose its label downstream; such (rare, image-corner) samples are
+        left unflipped instead of corrupted.
         """
         f = np.flatnonzero(flips)
-        images[f] = images[f][:, :, ::-1]
         k = keypoints[f][:, :, LEFT_RIGHT_SWAP, :]
         sentinel = np.all((k == 0) | (k == -1), axis=-1, keepdims=True)
         r = (self.image_size - 1) // self.output_stride + 1
+        collide = np.any(~sentinel[..., 0] & (k[..., 0] == 0)
+                         & (k[..., 1] == r - 1), axis=(1, 2))
+        if collide.any():
+            f, k, sentinel = f[~collide], k[~collide], sentinel[~collide]
+        if f.size == 0:
+            return
+        images[f] = images[f][:, :, ::-1]
         mirrored = k.copy()
         mirrored[..., 1] = (r - 1) - k[..., 1]
         keypoints[f] = np.where(sentinel, k, mirrored)
 
     def iter_batches(self, batch_size: int, shuffle: bool = True,
                      seed: int = 0, drop_remainder: bool = True,
-                     prefetch: int = 2, wrap_if_short: bool = False
+                     prefetch: int = 2, wrap_if_short: bool = False,
+                     augment: Optional[bool] = None
                      ) -> Iterator[Dict[str, np.ndarray]]:
         """Epoch iterator yielding stacked numpy batches.
 
@@ -200,8 +212,12 @@ class PosenetDataset:
         flipped with probability 1/2, decided by a deterministic RNG
         derived from `seed` — so a given (seed, epoch) replays exactly
         (prefetch on/off identical) while different epochs see different
-        flip patterns (the trainer passes seed + epoch).
+        flip patterns (the trainer passes seed + epoch). `augment`
+        overrides the dataset-level flag per iteration: evaluation passes
+        augment=False so metrics are never computed on augmented data
+        even when the eval set IS the (augmented) training dataset.
         """
+        do_augment = self.augment_flip if augment is None else augment
         order = np.arange(len(self))
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
@@ -220,7 +236,7 @@ class PosenetDataset:
         # seed is decorrelated from the shuffle stream (which already
         # consumed RandomState(seed)).
         flip_mask = (np.random.RandomState(seed + 0x5F1B).rand(n) < 0.5
-                     if self.augment_flip else None)
+                     if do_augment else None)
 
         def batch_flips(start):
             return (None if flip_mask is None

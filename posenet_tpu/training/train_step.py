@@ -54,15 +54,21 @@ def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
 
 
 def loss_fn(params, batch: Dict[str, jax.Array], model_cfg: ModelConfig,
-            train_cfg: TrainConfig) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """batch: {'image': (B,H,W,3) float in [-1,1], 'keypoints': (B,P,17,2)}."""
+            train_cfg: TrainConfig, reduce: bool = True
+            ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """batch: {'image': (B,H,W,3) float in [-1,1], 'keypoints': (B,P,17,2)}.
+
+    reduce=False returns per-item (B,) metric vectors instead of batch
+    means (metrics['loss'] is then a vector — gradient callers must keep
+    the default). The ONE copy of the forward+loss wiring: train, eval,
+    and per-item eval all route through here so they cannot drift."""
     out = mobilenet_v1.forward(params, batch['image'], model_cfg,
                                stop_trunk_gradient=train_cfg.heads_only)
     metrics = batched_loss(
         out['heatmap_logits'], out['offset'], batch['keypoints'],
         model_cfg.output_stride,
         heatmap_weight=train_cfg.heatmap_loss_weight,
-        offset_weight=train_cfg.offset_loss_weight)
+        offset_weight=train_cfg.offset_loss_weight, reduce=reduce)
     return metrics['loss'], metrics
 
 
@@ -85,13 +91,8 @@ def eval_step_per_item(params, batch, model_cfg: ModelConfig,
     """Per-item (B,) metric vectors — no batch mean. trainer.evaluate()
     slices off wrap-padding duplicates and weights partial batches by their
     true size, so the reported eval loss is an exact per-image mean."""
-    out = mobilenet_v1.forward(params, batch['image'], model_cfg,
-                               stop_trunk_gradient=train_cfg.heads_only)
-    return batched_loss(
-        out['heatmap_logits'], out['offset'], batch['keypoints'],
-        model_cfg.output_stride,
-        heatmap_weight=train_cfg.heatmap_loss_weight,
-        offset_weight=train_cfg.offset_loss_weight, reduce=False)
+    _, metrics = loss_fn(params, batch, model_cfg, train_cfg, reduce=False)
+    return metrics
 
 
 def init_train_state(params, cfg: TrainConfig) -> Tuple[TrainState, optax.GradientTransformation]:

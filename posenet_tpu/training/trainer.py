@@ -124,7 +124,10 @@ def score_decoded_poses(kp_coords: np.ndarray, pose_scores: np.ndarray,
       kp_coords: (B, P, 17, 2) decoded keypoint coords, image px.
       pose_scores: (B, P) decoded pose scores (0 = empty slot).
       gt_keypoints: (B, Pmax, 17, 2) GT grid coords, sentinel-padded.
-    Returns: (mean OKS, mean mAP) over scoreable images.
+    Returns: (mean OKS, mean mAP, n_scored) — means over the n_scored
+    SCOREABLE images only (an image with neither predictions nor GT is a
+    vacuously perfect outcome and is excluded, not scored 0). Callers
+    aggregating across batches must weight by n_scored, not batch size.
     """
     oks_vals, maps = [], []
     for b in range(kp_coords.shape[0]):
@@ -152,7 +155,8 @@ def score_decoded_poses(kp_coords: np.ndarray, pose_scores: np.ndarray,
         _, _, ap = metrics_lib.threshold_sweep(preds, gt_poses)
         maps.append(ap)
     return (float(np.mean(oks_vals)) if oks_vals else 0.0,
-            float(np.mean(maps)) if maps else 0.0)
+            float(np.mean(maps)) if maps else 0.0,
+            len(oks_vals))
 
 
 def evaluate_poses(params, batch, model_cfg: ModelConfig,
@@ -162,7 +166,8 @@ def evaluate_poses(params, batch, model_cfg: ModelConfig,
 
     `n_real` scores only the first n images — wrap-padded eval batches
     carry duplicates in the trailing slots (dataset.iter_batches
-    wrap_if_short); slicing AFTER decode keeps the compiled shape stable."""
+    wrap_if_short); slicing AFTER decode keeps the compiled shape stable.
+    Returns (mean OKS, mean mAP, n_scored) — see score_decoded_poses."""
     out = mobilenet_v1.forward_jit(params, jnp.asarray(batch['image']), model_cfg)
     decoded = decode_batch(out['heatmap'], out['offset'],
                            out['displacement_fwd'], out['displacement_bwd'],
@@ -201,10 +206,12 @@ def evaluate(dataset: PosenetDataset, train_cfg: TrainConfig, params,
     loss_sums: Dict[str, float] = {}
     oks_sum = map_sum = 0.0
     n_images = 0
+    n_scored = 0
     n_total = len(dataset)
     for batch in dataset.iter_batches(train_cfg.batch_size, shuffle=False,
                                       drop_remainder=mesh is not None,
-                                      wrap_if_short=mesh is not None):
+                                      wrap_if_short=mesh is not None,
+                                      augment=False):
         # shuffle=False + wrap_if_short's np.resize both preserve dataset
         # order, so the first `real` slots of every batch are the unique
         # not-yet-seen images and anything after is wrap padding.
@@ -219,16 +226,23 @@ def evaluate(dataset: PosenetDataset, train_cfg: TrainConfig, params,
                 np.asarray(v)[:real].sum())
         n_images += real
         if eval_pose_metrics:
-            oks, ap = evaluate_poses(params, batch, model_cfg, decode_cfg,
-                                     n_real=real)
-            oks_sum += oks * real
-            map_sum += ap * real
+            # Weight by the number of SCOREABLE images in the batch, not
+            # `real`: score_decoded_poses averages over scoreable images
+            # only (no-GT/no-prediction images are excluded), so a
+            # real-count weighting would skew the mean whenever the
+            # scoreable fraction varies across batches.
+            oks, ap, scored = evaluate_poses(params, batch, model_cfg,
+                                             decode_cfg, n_real=real)
+            oks_sum += oks * scored
+            map_sum += ap * scored
+            n_scored += scored
 
     report = {k: v / max(n_images, 1) for k, v in loss_sums.items()}
     report['n_images'] = n_images
     if eval_pose_metrics and n_images:
-        report['oks'] = oks_sum / n_images
-        report['mAP'] = map_sum / n_images
+        report['oks'] = oks_sum / max(n_scored, 1)
+        report['mAP'] = map_sum / max(n_scored, 1)
+        report['n_scored'] = n_scored
     return report
 
 
@@ -362,20 +376,23 @@ def train(train_dataset: PosenetDataset,
             for batch in test_dataset.iter_batches(
                     train_cfg.batch_size, shuffle=False,
                     drop_remainder=mesh is not None,
-                    wrap_if_short=mesh is not None):
+                    wrap_if_short=mesh is not None, augment=False):
                 device_batch = {'image': batch['image'],
                                 'keypoints': batch['keypoints']}
                 eval_losses.append(eval_fn(state.params, device_batch))
                 if eval_pose_metrics:
-                    oks, ap = evaluate_poses(state.params, batch, model_cfg,
-                                             decode_cfg)
-                    oks_vals.append(oks)
-                    map_vals.append(ap)
+                    # scored-count weighting: see evaluate() — per-batch
+                    # means cover scoreable images only.
+                    oks, ap, scored = evaluate_poses(state.params, batch,
+                                                     model_cfg, decode_cfg)
+                    oks_vals.append((oks, scored))
+                    map_vals.append((ap, scored))
             val_loss = float(np.mean([float(m['loss']) for m in eval_losses]))
             log['test_loss'] = val_loss
-            if eval_pose_metrics and oks_vals:
-                log['oks'] = float(np.mean(oks_vals))
-                log['mAP'] = float(np.mean(map_vals))
+            n_scored = sum(s for _, s in oks_vals)
+            if eval_pose_metrics and n_scored:
+                log['oks'] = sum(v * s for v, s in oks_vals) / n_scored
+                log['mAP'] = sum(v * s for v, s in map_vals) / n_scored
 
             # Early stopping (reference train.py:583-585,892-902) — but we
             # actually save the best model.

@@ -32,6 +32,10 @@ def _free_port() -> int:
 def test_two_process_dp_step_matches_single_process(tmp_path):
     # Timeout guarding lives in communicate(timeout=...) below — the
     # pytest-timeout plugin is not available in this environment.
+    # NOTE this is the one test that deliberately runs two concurrent
+    # XLA:CPU processes on the single-core box (a rendezvous cannot be
+    # serialized); the worker model is tiny (m50, 33x33 inputs) to keep
+    # both compiles small, and the timeout bounds the worst-case stall.
     port = _free_port()
     coord = f'127.0.0.1:{port}'
 
@@ -53,7 +57,7 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
     try:
         for p, out_path in zip(procs, outs):
             try:
-                stdout, _ = p.communicate(timeout=420)
+                stdout, _ = p.communicate(timeout=240)
             except subprocess.TimeoutExpired:
                 for q in procs:
                     q.kill()

@@ -278,21 +278,22 @@ def test_score_decoded_zero_predictions_counts_fn():
     # no predictions at all
     kp_coords = np.zeros((1, 10, 17, 2), np.float64)
     pose_scores = np.zeros((1, 10), np.float64)
-    oks, ap = score_decoded_poses(kp_coords, pose_scores, gt, stride)
-    assert oks == 0.0 and ap == 0.0
+    oks, ap, scored = score_decoded_poses(kp_coords, pose_scores, gt, stride)
+    assert oks == 0.0 and ap == 0.0 and scored == 1
 
     # sanity: a perfect prediction of the same GT scores ~1.0 OKS
     kp_coords[0, 0] = gt[0, 0] * stride
     pose_scores[0, 0] = 0.9
-    oks2, ap2 = score_decoded_poses(kp_coords, pose_scores, gt, stride)
+    oks2, ap2, _ = score_decoded_poses(kp_coords, pose_scores, gt, stride)
     assert oks2 > 0.99 and ap2 > 0.9
 
     # averaging: one perfect image + one silent image with GT halves both
     gt2 = np.concatenate([gt, gt], axis=0)
     kp2 = np.concatenate([kp_coords, np.zeros_like(kp_coords)], axis=0)
     ps2 = np.concatenate([pose_scores, np.zeros_like(pose_scores)], axis=0)
-    oks3, ap3 = score_decoded_poses(kp2, ps2, gt2, stride)
+    oks3, ap3, scored3 = score_decoded_poses(kp2, ps2, gt2, stride)
     assert abs(oks3 - oks2 / 2) < 1e-9 and abs(ap3 - ap2 / 2) < 1e-9
+    assert scored3 == 2
 
 
 def test_score_decoded_predictions_without_gt_count_fp():
@@ -305,13 +306,13 @@ def test_score_decoded_predictions_without_gt_count_fp():
     kp_coords[0, 0] = np.random.RandomState(1).uniform(10, 400, (17, 2))
     pose_scores = np.zeros((1, 10), np.float64)
     pose_scores[0, 0] = 0.8
-    oks, ap = score_decoded_poses(kp_coords, pose_scores, gt, 16)
-    assert oks == 0.0 and ap == 0.0
+    oks, ap, scored = score_decoded_poses(kp_coords, pose_scores, gt, 16)
+    assert oks == 0.0 and ap == 0.0 and scored == 1
 
     # while a truly empty image (no GT, no preds) still contributes nothing
     empty = score_decoded_poses(np.zeros((1, 10, 17, 2)),
                                 np.zeros((1, 10)), gt, 16)
-    assert empty == (0.0, 0.0)
+    assert empty == (0.0, 0.0, 0)  # excluded, not scored 0
 
 
 def test_restore_ignores_orbax_tmp_dirs(tmp_path):
@@ -487,3 +488,46 @@ def test_train_loop_with_flip_augmentation(tmp_path):
     hist = logger.history
     assert np.isfinite([h['train_loss'] for h in hist]).all()
     assert hist[-1]['train_loss'] < hist[0]['train_loss']
+
+
+def test_flip_skips_sentinel_collision(tmp_path):
+    """A real keypoint at grid (y=0, x=R-1) would mirror exactly onto the
+    (0,0) unlabeled sentinel; such samples must be left UNFLIPPED (label
+    preserved) rather than silently losing the keypoint."""
+    images, kpdir = make_synthetic_dataset(str(tmp_path), n_images=2)
+    ds = PosenetDataset(images, kpdir, image_size=65, output_stride=16,
+                        augment_flip=True)
+    r = (65 - 1) // 16 + 1
+    # plant the collision in every sample's first pose
+    ds.keypoints[:, 0, 3] = [0.0, float(r - 1)]  # (y, x) grid coords
+    img_batch = {i: ds._load_u8(i).copy() for i in range(2)}
+    batch = ds._make_batch([0, 1], None, flips=np.array([True, True]))
+    for i in range(2):
+        np.testing.assert_array_equal(batch['image'][i],
+                                      img_batch[i].astype(np.float32)
+                                      * (2.0 / 255.0) - 1.0)
+        np.testing.assert_allclose(batch['keypoints'][i], ds.keypoints[i])
+    # without the colliding keypoint the same samples DO flip
+    ds.keypoints[:, 0, 3] = [1.0, float(r - 1)]  # y=1: mirrors to (1,0), fine
+    batch2 = ds._make_batch([0, 1], None, flips=np.array([True, True]))
+    for i in range(2):
+        np.testing.assert_array_equal(
+            batch2['image'][i],
+            (img_batch[i].astype(np.float32) * (2.0 / 255.0) - 1.0)[:, ::-1])
+
+
+def test_iter_batches_augment_override(tmp_path):
+    """iter_batches(augment=False) on a flip-augmented dataset must yield
+    the exact unaugmented batches — evaluation never sees flipped data
+    even when the eval set IS the training dataset."""
+    images, kpdir = make_synthetic_dataset(str(tmp_path), n_images=6)
+    ds_plain = PosenetDataset(images, kpdir, image_size=65, output_stride=16)
+    ds_flip = PosenetDataset(images, kpdir, image_size=65, output_stride=16,
+                             augment_flip=True)
+    plain = list(ds_plain.iter_batches(2, shuffle=False, prefetch=0))
+    noaug = list(ds_flip.iter_batches(2, shuffle=False, prefetch=0,
+                                      augment=False))
+    assert len(plain) == len(noaug)
+    for a, b in zip(plain, noaug):
+        np.testing.assert_array_equal(a['image'], b['image'])
+        np.testing.assert_array_equal(a['keypoints'], b['keypoints'])
