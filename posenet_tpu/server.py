@@ -10,6 +10,12 @@ path pairs the compiled StableHLO artifact with this stdlib HTTP frontend:
     posenet-serve --artifact m101.posenet --port 8080
     curl -s --data-binary @photo.jpg localhost:8080/v1/decode | jq .
 
+or, without an export step, serve the in-process fused pipeline directly
+(LivePipelineBackend: pallas decode on TPU, optional --num_devices N
+data-parallel mesh; artifacts remain the version-pinned fleet option):
+
+    posenet-serve --model 101 --size 513 513 --batch_sizes 1,8
+
 Design:
 - **One worker thread owns the device.** HTTP handler threads enqueue
   (frame, reply-slot) pairs; the worker drains the queue and dispatches.
@@ -73,6 +79,71 @@ class _Request:
         self.event = threading.Event()
         self.result = None
         self.error: Optional[str] = None
+
+
+class LivePipelineBackend:
+    """The in-process fused pipeline behind the same interface a
+    ServingArtifact exposes (`__call__` / `input_hw` / `batch_sizes` /
+    `meta`), so PoseServer can serve either. Compared to an artifact:
+
+      + no export step — serve current weights (e.g. straight after
+        `train.py`, or `--allow_random_init` smoke runs);
+      + TPU keeps the pallas decode kernel (artifacts always embed the
+        XLA decode — free at b1-b8, 2.8x slower at b128; PARITY.md);
+      + optional multi-chip data-parallel serving: `num_devices=N` builds
+        an N-device ('data',) mesh and the pipeline runs per-shard under
+        shard_map (posenet_tpu/pipeline.py).
+      - NOT version-pinned: an artifact is frozen StableHLO whose results
+        are stable across hosts and jax upgrades (the replica-consistency
+        story); a live pipeline can drift at the ulp level with the
+        toolchain. Prefer artifacts for fleet deployments.
+    """
+
+    def __init__(self, model, *,
+                 decode_cfg=None,
+                 input_hw: Tuple[int, int] = (513, 513),
+                 batch_sizes: Sequence[int] = (1, 8),
+                 num_devices: Optional[int] = None):
+        from posenet_tpu.config import DecodeConfig
+        from posenet_tpu.pipeline import PoseNetPipeline
+        from posenet_tpu.serving import _validate_input_hw
+
+        if decode_cfg is None:
+            decode_cfg = DecodeConfig(min_pose_score=0.25)
+        _validate_input_hw(tuple(input_hw), model.cfg.output_stride)
+        self.input_hw = tuple(int(v) for v in input_hw)
+        self.batch_sizes = sorted(set(int(b) for b in batch_sizes))
+        if not self.batch_sizes or self.batch_sizes[0] < 1:
+            raise ValueError(f"bad batch_sizes {batch_sizes}")
+        mesh = None
+        if num_devices:
+            from posenet_tpu.parallel.mesh import make_mesh
+
+            bad = [b for b in self.batch_sizes if b % int(num_devices)]
+            if bad:
+                raise ValueError(
+                    f"num_devices={num_devices} must divide every served "
+                    f"batch size; got {bad}")
+            mesh = make_mesh(int(num_devices))
+        self._pipe = PoseNetPipeline(model, decode_cfg, mesh=mesh)
+        self.meta = {
+            "backend": "live-pipeline",
+            "model_id": model.cfg.model_id,
+            "output_stride": model.cfg.output_stride,
+            "input_hw": list(self.input_hw),
+            "batch_sizes": self.batch_sizes,
+            "num_devices": int(num_devices) if num_devices else 1,
+            "decode": {
+                "max_pose_detections": decode_cfg.max_pose_detections,
+                "score_threshold": decode_cfg.score_threshold,
+                "nms_radius": decode_cfg.nms_radius,
+                "min_pose_score": decode_cfg.min_pose_score,
+                "max_candidates": decode_cfg.max_candidates,
+            },
+        }
+
+    def __call__(self, frames: np.ndarray):
+        return self._pipe(frames)
 
 
 class PoseServer:
@@ -325,8 +396,28 @@ def main(argv: Optional[Sequence[str]] = None):
     from posenet_tpu.serving import load_serving_artifact
 
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("--artifact", required=True,
-                   help="*.posenet artifact from posenet-export")
+    p.add_argument("--artifact",
+                   help="*.posenet artifact from posenet-export "
+                        "(mutually exclusive with --model)")
+    p.add_argument("--model", type=int, choices=(50, 75, 100, 101),
+                   help="LIVE mode: serve the in-process fused pipeline "
+                        "for this model id instead of an artifact (no "
+                        "export step; pallas decode on TPU; see "
+                        "LivePipelineBackend)")
+    p.add_argument("--output_stride", type=int, default=16,
+                   help="live mode: model output stride")
+    p.add_argument("--size", type=int, nargs=2, default=(513, 513),
+                   metavar=("H", "W"),
+                   help="live mode: stride-valid input resolution")
+    p.add_argument("--batch_sizes", type=str, default="1,8",
+                   help="live mode: comma-separated served batch programs")
+    p.add_argument("--min_pose_score", type=float, default=0.25,
+                   help="live mode: decode min pose score")
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="live mode: serve data-parallel over an N-device "
+                        "mesh (batch sizes must divide N)")
+    p.add_argument("--allow_random_init", action="store_true",
+                   help="live mode: random weights if download fails")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--min_part_score", type=float, default=0.0)
@@ -334,7 +425,24 @@ def main(argv: Optional[Sequence[str]] = None):
                    help="coalescing window after the first queued request")
     args = p.parse_args(argv)
 
-    artifact = load_serving_artifact(args.artifact)
+    if bool(args.artifact) == bool(args.model):
+        p.error("exactly one of --artifact or --model is required")
+    if args.model:
+        from posenet_tpu.config import DecodeConfig
+        from posenet_tpu.models import load_model
+
+        model = load_model(args.model, output_stride=args.output_stride,
+                           allow_random_init=args.allow_random_init)
+        artifact = LivePipelineBackend(
+            model,
+            decode_cfg=DecodeConfig(min_pose_score=args.min_pose_score),
+            input_hw=tuple(args.size),
+            batch_sizes=[int(b) for b in args.batch_sizes.split(",")],
+            num_devices=args.num_devices)
+        source = f"live model {args.model} s{args.output_stride}"
+    else:
+        artifact = load_serving_artifact(args.artifact)
+        source = args.artifact
     pose_server = PoseServer(artifact,
                              min_part_score=args.min_part_score,
                              batch_wait_ms=args.batch_wait_ms)
@@ -346,7 +454,7 @@ def main(argv: Optional[Sequence[str]] = None):
     pose_server.warmup()
     httpd = make_http_server(pose_server, args.host, args.port)
     print(f"posenet-serve: {args.host}:{httpd.server_address[1]} "
-          f"artifact={args.artifact} batches={pose_server.batch_sizes}")
+          f"serving={source} batches={pose_server.batch_sizes}")
 
     # Graceful SIGTERM (the container-orchestrator stop signal): finish
     # in-flight batches, refuse new connections, exit 0.

@@ -237,3 +237,54 @@ def test_http_errors(http_base):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
+
+
+# ---- live-pipeline backend (no artifact) ----
+
+@pytest.fixture(scope="module")
+def live_model():
+    cfg = ModelConfig(model_id=50, output_stride=16)
+    params = mobilenet_v1.init_params(jax.random.PRNGKey(11), cfg)
+    return PoseNet(params, cfg)
+
+
+def test_live_backend_matches_pipeline(live_model):
+    """PoseServer over LivePipelineBackend answers decode_frame with the
+    same poses as calling the fused pipeline directly."""
+    from posenet_tpu.pipeline import PoseNetPipeline
+    from posenet_tpu.server import LivePipelineBackend
+
+    dcfg = DecodeConfig(min_pose_score=0.0, score_threshold=0.25)
+    backend = LivePipelineBackend(live_model, decode_cfg=dcfg,
+                                  input_hw=HW, batch_sizes=(1, 4))
+    assert backend.meta["backend"] == "live-pipeline"
+    srv = PoseServer(backend, batch_wait_ms=2.0)
+    try:
+        frame = _frames(1, seed=3)[0]
+        poses = srv.decode_frame(frame)
+        out = PoseNetPipeline(live_model, dcfg)(frame[None])
+        ps = np.asarray(out.pose_scores)[0]
+        assert len(poses) == int((ps > 0).sum())
+        if poses:
+            assert poses[0]["score"] == pytest.approx(float(ps[0]), abs=1e-6)
+    finally:
+        srv.close()
+
+
+def test_live_backend_validation(live_model):
+    from posenet_tpu.server import LivePipelineBackend
+
+    with pytest.raises(ValueError, match="stride-valid"):
+        LivePipelineBackend(live_model, input_hw=(64, 64))
+    with pytest.raises(ValueError, match="divide"):
+        LivePipelineBackend(live_model, input_hw=HW, batch_sizes=(1, 4),
+                            num_devices=4)
+
+
+def test_serve_cli_requires_exactly_one_source(capsys):
+    from posenet_tpu.server import main as serve_main
+
+    with pytest.raises(SystemExit):
+        serve_main([])  # neither --artifact nor --model
+    with pytest.raises(SystemExit):
+        serve_main(["--artifact", "x.posenet", "--model", "50"])  # both
