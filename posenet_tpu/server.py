@@ -286,9 +286,18 @@ class PoseServer:
         """Compile/execute every exported batch-size program once, so no
         request ever pays a first-call compile. Called before the HTTP
         frontend binds (the worker is idle, so the direct artifact calls
-        cannot race it)."""
+        cannot race it).
+
+        Each program is synchronized with a small HOST FETCH, not just
+        dispatched: on tunneled TPU platforms a fetch is the only
+        reliable execution barrier, and leaving warmup's results
+        unsynced in flight deadlocked the worker thread's FIRST result
+        fetch behind them (observed on axon: the worker's
+        np.asarray(pose_scores) blocked forever while dispatch itself
+        succeeded)."""
         for b in self.batch_sizes:
-            self.artifact(np.zeros((b, *self.input_hw, 3), np.uint8))
+            out = self.artifact(np.zeros((b, *self.input_hw, 3), np.uint8))
+            np.asarray(out.pose_scores).ravel()
 
     def decode_image_bytes(self, data: bytes, content_type: str = "",
                            **thresholds):
