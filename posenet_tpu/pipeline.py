@@ -169,6 +169,11 @@ class PoseNetPipeline:
                 "device_resize_to + spatial partition: the H-shard pad-row "
                 "masking assumes input at the processing resolution; use "
                 "partition='data'")
+        if device_resize_to is not None and self.model.cfg.quantized:
+            raise NotImplementedError(
+                "device_resize_to + quantized: _infer_raw routes through "
+                "the float forward, which cannot read the folded int8 "
+                "pytree; resize on the host for the quantized trunk")
         if mesh is not None:
             P = jax.sharding.PartitionSpec
             if partition == 'spatial':

@@ -64,6 +64,12 @@ from posenet_tpu.constants import PART_NAMES
 _RAW_CONTENT_TYPE = "application/x-posenet-frame"
 
 
+class ServerUnavailable(RuntimeError):
+    """Transient server-side refusal (shutting down / overloaded / dead
+    worker) — the HTTP layer maps it to 503 so clients and load balancers
+    retry instead of treating it as a caller bug."""
+
+
 class _Request:
     """One enqueued frame and its reply slot."""
 
@@ -117,14 +123,24 @@ class LivePipelineBackend:
             raise ValueError(f"bad batch_sizes {batch_sizes}")
         mesh = None
         if num_devices:
+            import jax
+
             from posenet_tpu.parallel.mesh import make_mesh
 
-            bad = [b for b in self.batch_sizes if b % int(num_devices)]
+            n = int(num_devices)
+            if len(jax.devices()) < n:
+                # make_mesh slices devices[:n] without checking — a
+                # smaller host would silently serve under-sharded while
+                # /healthz reported num_devices=n.
+                raise ValueError(
+                    f"num_devices={n} but only {len(jax.devices())} "
+                    f"device(s) are available")
+            bad = [b for b in self.batch_sizes if b % n]
             if bad:
                 raise ValueError(
-                    f"num_devices={num_devices} must divide every served "
+                    f"num_devices={n} must divide every served "
                     f"batch size; got {bad}")
-            mesh = make_mesh(int(num_devices))
+            mesh = make_mesh(n)
         self._pipe = PoseNetPipeline(model, decode_cfg, mesh=mesh)
         self.meta = {
             "backend": "live-pipeline",
@@ -156,6 +172,10 @@ class PoseServer:
         self.batch_sizes = sorted(artifact.batch_sizes)
         self.min_part_score = float(min_part_score)
         self.batch_wait_s = batch_wait_ms / 1000.0
+        # Flipped false if the device worker thread dies; /healthz
+        # reports it and new enqueues are refused (they could never be
+        # answered).
+        self.healthy = True
         # /statsz counters; worker-thread writes, reader copies (GIL-atomic
         # int/float updates, no lock needed).
         self.stats = {"requests_done": 0, "errors": 0,
@@ -200,32 +220,49 @@ class PoseServer:
         return self.batch_sizes[-1]
 
     def _worker_loop(self):
-        while not self._stop.is_set():
-            pending = self._drain()
-            if not pending:
-                if self._stop.is_set() or self._queue.empty():
+        # Drain until the shutdown sentinel: requests accepted before
+        # close() must still be answered (the graceful-SIGTERM contract),
+        # so the loop is NOT gated on _stop — _drain returns [] only
+        # after consuming the sentinel. A top-level guard bounds the
+        # blast radius of any unexpected error: without it, one
+        # MemoryError outside _run_chunk's try would silently kill the
+        # sole device worker forever while /healthz stayed green.
+        pending: List[_Request] = []
+        while True:
+            try:
+                pending = self._drain()
+                if not pending:
                     return
-                continue
-            # Largest exported batch repeatedly, remainder padded up.
-            while pending:
-                b = self._program_batch(len(pending))
-                chunk, pending = pending[:b], pending[b:]
-                self._run_chunk(chunk, b)
+                # Largest exported batch repeatedly, remainder padded up.
+                while pending:
+                    b = self._program_batch(len(pending))
+                    chunk, pending = pending[:b], pending[b:]
+                    self._run_chunk(chunk, b)
+            except BaseException as e:  # noqa: BLE001 — sole worker
+                self.healthy = False
+                self.stats["errors"] += len(pending)
+                for req in pending:
+                    req.error = f"device worker died: {type(e).__name__}: {e}"
+                    req.event.set()
+                raise
 
     def _run_chunk(self, chunk: List[_Request], batch_size: int):
         import time
 
-        frames = np.zeros((batch_size, *self.input_hw, 3), np.uint8)
-        for i, req in enumerate(chunk):
-            frames[i] = req.frame
         t0 = time.perf_counter()
         try:
+            frames = np.zeros((batch_size, *self.input_hw, 3), np.uint8)
+            for i, req in enumerate(chunk):
+                frames[i] = req.frame
             out = self.artifact(frames)
             # One host fetch for the whole chunk (the tunnel RTT is per
             # fetch, not per image).
             pose_scores = np.asarray(out.pose_scores)
             kp_scores = np.asarray(out.keypoint_scores)
             kp_coords = np.asarray(out.keypoint_coords)
+            results = [self._poses_json(pose_scores[i], kp_scores[i],
+                                        kp_coords[i], req)
+                       for i, req in enumerate(chunk)]
         except Exception as e:  # propagate to every caller in the chunk
             self.stats["errors"] += len(chunk)
             for req in chunk:
@@ -237,9 +274,8 @@ class PoseServer:
         self.stats["device_ms_total"] += ms
         self.stats["device_ms_last"] = ms
         self.stats["requests_done"] += len(chunk)
-        for i, req in enumerate(chunk):
-            req.result = self._poses_json(
-                pose_scores[i], kp_scores[i], kp_coords[i], req)
+        for req, result in zip(chunk, results):
+            req.result = result
             req.event.set()
 
     def _poses_json(self, pose_scores, kp_scores, kp_coords, req: _Request):
@@ -272,10 +308,18 @@ class PoseServer:
             raise ValueError(
                 f"frame must be uint8 {(*self.input_hw, 3)}, got "
                 f"{frame.dtype} {frame.shape}")
+        if self._stop.is_set() or not self.healthy:
+            raise ServerUnavailable(
+                "server is shutting down" if self._stop.is_set()
+                else "device worker died; server is unhealthy")
         req = _Request(frame, scale_yx, float(min_pose_score),
                        self.min_part_score if min_part_score is None
                        else float(min_part_score))
-        self._queue.put(req, timeout=5.0)
+        try:
+            self._queue.put(req, timeout=5.0)
+        except queue.Full:
+            raise ServerUnavailable(
+                "request queue full (server overloaded)") from None
         if not req.event.wait(timeout_s):
             raise TimeoutError("decode timed out")
         if req.error is not None:
@@ -350,8 +394,10 @@ def make_http_server(pose_server: PoseServer, host: str = "127.0.0.1",
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(200, {"ok": True,
-                                  "artifact": pose_server.artifact.meta})
+                ok = pose_server.healthy
+                self._reply(200 if ok else 503,
+                            {"ok": ok,
+                             "artifact": pose_server.artifact.meta})
             elif self.path == "/statsz":
                 s = dict(pose_server.stats)
                 s["batches_by_size"] = {
@@ -384,11 +430,19 @@ def make_http_server(pose_server: PoseServer, host: str = "127.0.0.1",
                     data, self.headers.get("Content-Type", ""),
                     **thresholds)
                 self._reply(200, {"poses": poses, "source_hw": source_hw})
-            except (ValueError, TimeoutError) as e:
+            except ValueError as e:
                 # the body may not have been consumed (e.g. oversized):
                 # close instead of letting keep-alive desync on it
                 self.close_connection = True
                 self._reply(400, {"error": str(e)})
+            except TimeoutError as e:
+                # server-side stall (device hang / overload), NOT a
+                # caller bug: 504 so clients and load balancers retry
+                self.close_connection = True
+                self._reply(504, {"error": str(e)})
+            except ServerUnavailable as e:
+                self.close_connection = True
+                self._reply(503, {"error": str(e)})
             except Exception as e:
                 self.close_connection = True
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
@@ -424,7 +478,7 @@ def main(argv: Optional[Sequence[str]] = None):
                    help="live mode: decode min pose score")
     p.add_argument("--num_devices", type=int, default=None,
                    help="live mode: serve data-parallel over an N-device "
-                        "mesh (batch sizes must divide N)")
+                        "mesh (N must divide every served batch size)")
     p.add_argument("--allow_random_init", action="store_true",
                    help="live mode: random weights if download fails")
     p.add_argument("--host", default="127.0.0.1")

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import zipfile
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -153,15 +154,28 @@ def save_serving_artifact(
         "outputs": list(DecodedPoses._fields),
         "data_parallel_devices": data_parallel_devices,
     }
-    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("meta.json", json.dumps(meta, indent=2))
-        for b in meta["batch_sizes"]:
-            spec = jax.ShapeDtypeStruct((b, *input_hw, 3), jnp.uint8,
-                                        sharding=data_sharding)
-            jit_fn = (jax.jit(fn) if data_sharding is None else
-                      jax.jit(fn, in_shardings=(data_sharding,)))
-            exp = jax_export.export(jit_fn, platforms=list(platforms))(spec)
-            zf.writestr(f"program_b{b}.stablehlo", exp.serialize())
+    # Write-to-temp + atomic rename: ZipFile.__exit__ finalizes the
+    # central directory even on exception, so writing `path` directly
+    # would leave a LOADABLE zip with programs missing when a later batch
+    # size fails to export — the breakage would only surface as a
+    # KeyError at serve time on another host.
+    tmp_path = path + ".tmp"
+    try:
+        with zipfile.ZipFile(tmp_path, "w",
+                             compression=zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr("meta.json", json.dumps(meta, indent=2))
+            for b in meta["batch_sizes"]:
+                spec = jax.ShapeDtypeStruct((b, *input_hw, 3), jnp.uint8,
+                                            sharding=data_sharding)
+                jit_fn = (jax.jit(fn) if data_sharding is None else
+                          jax.jit(fn, in_shardings=(data_sharding,)))
+                exp = jax_export.export(jit_fn,
+                                        platforms=list(platforms))(spec)
+                zf.writestr(f"program_b{b}.stablehlo", exp.serialize())
+        os.replace(tmp_path, path)
+    finally:
+        if os.path.exists(tmp_path):
+            os.remove(tmp_path)
     return meta
 
 
@@ -205,13 +219,24 @@ class ServingArtifact:
         return self._programs[batch]
 
     def __call__(self, frames_u8) -> DecodedPoses:
-        frames = np.asarray(frames_u8)
-        if frames.ndim != 4 or frames.shape[1:3] != self.input_hw \
+        # Validate from .shape/.dtype WITHOUT np.asarray: a device-resident
+        # jax.Array input must pass through untouched (materializing it
+        # would drag every frame device->host just to re-upload — hundreds
+        # of ms over a slow link), and a non-uint8 dtype must RAISE rather
+        # than be astype-wrapped into garbage poses (float [0,1] frames
+        # would silently truncate to zeros).
+        frames = (frames_u8 if isinstance(frames_u8, jax.Array)
+                  else np.asarray(frames_u8))
+        if frames.ndim != 4 or tuple(frames.shape[1:3]) != self.input_hw \
                 or frames.shape[3] != 3:
             raise ValueError(
                 f"expected (B, {self.input_hw[0]}, {self.input_hw[1]}, 3) "
                 f"uint8 frames, got {frames.shape}")
-        frames = frames.astype(np.uint8, copy=False)
+        if frames.dtype != np.uint8:
+            raise ValueError(
+                f"expected uint8 frames, got {frames.dtype} (scale/round "
+                f"to 0..255 uint8 first — an implicit cast would wrap "
+                f"float/negative values into garbage)")
         backend = jax.default_backend()
         if backend not in self.meta["platforms"]:
             raise ValueError(

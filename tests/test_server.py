@@ -3,6 +3,7 @@ tiny CPU artifact (posenet_tpu/server.py). No reference counterpart — the
 reference has no serving story (SURVEY.md §2.2)."""
 
 import json
+import os
 import threading
 import urllib.error
 import urllib.request
@@ -288,3 +289,104 @@ def test_serve_cli_requires_exactly_one_source(capsys):
         serve_main([])  # neither --artifact nor --model
     with pytest.raises(SystemExit):
         serve_main(["--artifact", "x.posenet", "--model", "50"])  # both
+
+
+def test_shutdown_answers_queued_requests(artifact):
+    """Requests accepted before close() must still be answered (the
+    graceful-shutdown contract) — the worker drains to the sentinel, it
+    does not exit after the current batch."""
+    import concurrent.futures
+
+    srv = PoseServer(artifact, batch_wait_ms=50.0)
+    try:
+        with concurrent.futures.ThreadPoolExecutor(6) as ex:
+            futs = [ex.submit(srv.decode_frame, _frames(1, seed=i)[0])
+                    for i in range(6)]
+            import time
+            time.sleep(0.05)  # let them enqueue
+            closer = ex.submit(srv.close)
+            results = [f.result(timeout=120) for f in futs]
+            closer.result(timeout=120)
+        assert all(isinstance(r, list) for r in results)
+        # and NEW enqueues after shutdown are refused with the 503 error
+        from posenet_tpu.server import ServerUnavailable
+        with pytest.raises(ServerUnavailable, match="shutting down"):
+            srv.decode_frame(_frames(1)[0])
+    finally:
+        srv.close()
+
+
+def test_artifact_rejects_non_uint8(artifact):
+    """Float frames must raise, not be silently astype-wrapped into
+    garbage poses."""
+    bad = np.zeros((1, *HW, 3), np.float32)
+    with pytest.raises(ValueError, match="uint8"):
+        artifact(bad)
+
+
+def test_artifact_accepts_device_frames(artifact):
+    """A device-resident jax.Array input passes through without a host
+    round trip and decodes identically to the numpy path."""
+    import jax.numpy as jnp
+
+    frames = _frames(1, seed=9)
+    out_np = artifact(frames)
+    out_dev = artifact(jnp.asarray(frames))
+    np.testing.assert_array_equal(np.asarray(out_np.pose_scores),
+                                  np.asarray(out_dev.pose_scores))
+    np.testing.assert_array_equal(np.asarray(out_np.keypoint_coords),
+                                  np.asarray(out_dev.keypoint_coords))
+
+
+def test_failed_export_leaves_no_artifact(tmp_path, monkeypatch):
+    """An export that dies partway must not leave a loadable-but-broken
+    zip at the output path (meta listing programs the archive lacks)."""
+    from posenet_tpu import serving as serving_mod
+    from posenet_tpu.config import DecodeConfig as DC
+    from posenet_tpu.serving import save_serving_artifact
+
+    cfg = ModelConfig(model_id=50, output_stride=16)
+    params = mobilenet_v1.init_params(jax.random.PRNGKey(2), cfg)
+    path = str(tmp_path / "broken.posenet")
+
+    def boom(*a, **kw):  # dies AFTER meta.json is in the zip
+        raise RuntimeError("lowering failed")
+
+    monkeypatch.setattr(serving_mod.jax_export, "export", boom)
+    with pytest.raises(RuntimeError, match="lowering failed"):
+        save_serving_artifact(PoseNet(params, cfg), path,
+                              decode_cfg=DC(min_pose_score=0.0),
+                              batch_sizes=(1,), input_hw=HW,
+                              platforms=("cpu",))
+    assert not os.path.exists(path)
+    assert not os.path.exists(path + ".tmp")
+
+
+def test_unhealthy_server_maps_to_503(artifact):
+    """A dead device worker flips healthy=False: /healthz returns 503,
+    and new enqueues are refused with ServerUnavailable (mapped to 503
+    by the HTTP layer) instead of blocking 120 s for a reply that can
+    never come."""
+    import urllib.error
+
+    from posenet_tpu.server import ServerUnavailable
+
+    srv = PoseServer(artifact, batch_wait_ms=2.0)
+    try:
+        srv.healthy = False  # what the worker's top-level guard sets
+        with pytest.raises(ServerUnavailable, match="unhealthy"):
+            srv.decode_frame(_frames(1)[0])
+        httpd = make_http_server(srv, "127.0.0.1", 0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{httpd.server_address[1]}/healthz",
+                    timeout=10)
+            assert exc.value.code == 503
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+    finally:
+        srv.close()
