@@ -20,6 +20,7 @@ clip(round(coord/stride)) chain into the gathers and recomputes it with
 a different contraction, flipping ~0.7% of keypoints one cell off
 (round-3 HW bisection; see PARITY.md).
 """
+import os
 import sys
 
 import numpy as np
@@ -40,6 +41,8 @@ if mode == 'tpu' and jax.default_backend() != 'tpu':
     # vacuously PASS.
     sys.exit(f'FAIL: tpu mode but default backend is {jax.default_backend()!r}'
              ' — run from a foreground shell with the TPU tunnel up')
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from posenet_tpu.config import DecodeConfig
 from posenet_tpu.decode import decode_batch
