@@ -410,6 +410,9 @@ def _greedy_accept(cand_scores, cand_kp, root_coords, all_scores, all_coords,
         inst = jnp.sum(jnp.where(overlapped, 0.0, all_scores),
                        axis=-1) / NUM_KEYPOINTS                   # (K,)
 
+        # The == 0.0 arm is redundant (inst >= 0 always) but mirrors the
+        # reference's control flow verbatim (decode_multi.py:130) so the
+        # parity argument stays line-for-line checkable.
         score_ok = (cfg.min_pose_score == 0.0) | (inst >= cfg.min_pose_score)
         eligible = valid & (~root_sup) & score_ok
         accept = jnp.any(eligible) & (count < P)

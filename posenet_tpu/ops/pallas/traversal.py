@@ -99,9 +99,12 @@ _VMEM_TABLE_BUDGET = 24 * 1024 * 1024
 # grids up to 48k cells (2x33.1 MB double-buffered tables + fetch
 # intermediates) measured bit-exact on v5e HW (160x300 probe, 2026-08-17);
 # stride-8 1080p (136x241 = 32.8k cells, 2x22.6 MB) sits well inside.
-# Grids beyond this fall back to the XLA traversal (non-bit-exact on TPU,
-# see PARITY.md).
-_VMEM_TABLE_BUDGET_LARGE = 68 * 1024 * 1024
+# Grids beyond this fall back to the XLA traversal (bit-exact on TPU too
+# via barrier-pinned gather indices, see PARITY.md). The gate is pinned to
+# EXACTLY the 48k-cell verified envelope — a round 68 MB admitted ~51.7k
+# cells, 8% past anything measured, risking a Mosaic compile error where
+# the XLA fallback would have worked.
+_VMEM_TABLE_BUDGET_LARGE = 2 * 48_000 * _TABLE_BYTES_PER_CELL
 
 
 def _hop_metadata():
@@ -623,32 +626,19 @@ def traverse_all_candidates_pallas(
                  root_coords[..., 0][:, None, :],
                  root_coords[..., 1][:, None, :])
 
-    if version == 4:
-        kernel = functools.partial(_traversal_kernel_v4, h=h, w=w, k=k,
-                                   stride=float(output_stride), group=group)
-        colmap9 = jnp.asarray(np.arange(w * 9)[:, None] % w, jnp.int32)
-        colmap6 = jnp.asarray(np.arange(w * 6)[:, None] % w, jnp.int32)
-        g9t = jnp.asarray(
-            (np.arange(3)[:, None] == np.arange(w * 9)[None, :] // (3 * w)),
-            jnp.bfloat16)
-        g6t = jnp.asarray(
-            (np.arange(2)[:, None] == np.arange(w * 6)[None, :] // (3 * w)),
-            jnp.bfloat16)
-        # Same shared tables as v3 — the kernel assembles level blocks from
-        # static per-edge slices itself (see _traversal_kernel_v4).
-        in_specs = [
-            pl.BlockSpec((w * 9, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((w * 6, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, w * 9), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, w * 6), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ] + table_specs + cand_specs
-        const_args = (colmap9, colmap6, g9t, g6t)
-        table_args = (sov_t, dfwd_t, dbwd_t)
-    elif version == 3:
-        kernel = functools.partial(_traversal_kernel_v3, h=h, w=w, k=k,
-                                   stride=float(output_stride), group=group)
-        # host-built column maps / transposed group matrices (K-on-lanes),
-        # matching _per_group_tables' block layout: col = f*3W + split*W + x
+    if version in (3, 4):
+        # v3 and v4 share everything but the kernel body: host-built
+        # column maps / transposed group matrices (K-on-lanes), matching
+        # _per_group_tables' block layout col = f*3W + split*W + x, and
+        # the same shared per-target tables (v4 assembles its level
+        # blocks from static per-edge slices in-kernel — see
+        # _traversal_kernel_v4). ONE copy: the kernels' bit-exactness
+        # depends on these constants matching the table layout, and a
+        # future layout change edited in only one branch would silently
+        # break whichever version the auto-picker selects.
+        kernel = functools.partial(
+            _traversal_kernel_v4 if version == 4 else _traversal_kernel_v3,
+            h=h, w=w, k=k, stride=float(output_stride), group=group)
         colmap9 = jnp.asarray(np.arange(w * 9)[:, None] % w, jnp.int32)
         colmap6 = jnp.asarray(np.arange(w * 6)[:, None] % w, jnp.int32)
         g9t = jnp.asarray(

@@ -24,8 +24,15 @@ from posenet_tpu.constants import OKS_SIGMAS
 
 def _is_sentinel(kp: np.ndarray) -> np.ndarray:
     """(…, 2) -> (…,) bool: keypoint is an unannotated placeholder — GT
-    loaders pad with (-1,-1) and unannotated points are (0,0)."""
-    return np.all(kp == 0.0, axis=-1) | np.all(kp == -1.0, axis=-1)
+    loaders pad with (-1,-1) and unannotated points are (0,0).
+
+    Per-coord rule (each coord in {0,-1}), the SAME convention as
+    loss.keypoint_validity (reference train.py:113): training and eval
+    must never classify the same keypoint oppositely, and a mixed
+    sentinel like (0,-1) — which only a buggy loader could produce — is
+    excluded by both rather than scored as a real annotation at (0,-16)
+    image px by eval alone."""
+    return np.all((kp == 0.0) | (kp == -1.0), axis=-1)
 
 
 def match_poses(preds: np.ndarray, gts: np.ndarray) -> List[Tuple[int, int]]:
