@@ -153,6 +153,23 @@ def test_prepare_with_heatmap_pngs(tmp_path):
 # Metrics
 # ---------------------------------------------------------------------------
 
+def test_sentinel_rule_matches_training_validity():
+    """Eval's _is_sentinel and training's keypoint_validity must classify
+    every keypoint identically (same per-coord {0,-1} rule) — a keypoint
+    dropped from the loss but scored by eval (or vice versa) would skew
+    OKS/mAP against the model silently. Mixed sentinels like (0,-1) are
+    excluded by BOTH."""
+    import jax.numpy as jnp
+    from posenet_tpu.training.loss import keypoint_validity
+    kp = np.array([[0., 0.], [-1., -1.], [0., -1.], [-1., 0.],
+                   [5., 0.], [0., 5.], [3., 4.], [-1., 2.]])
+    eval_invalid = M._is_sentinel(kp)
+    train_invalid = ~np.asarray(keypoint_validity(jnp.asarray(kp[None])))[0]
+    np.testing.assert_array_equal(eval_invalid, train_invalid)
+    assert list(eval_invalid) == [True, True, True, True,
+                                  False, False, False, False]
+
+
 def test_match_poses_identity():
     rng = np.random.RandomState(0)
     gts = rng.uniform(0, 100, (3, 17, 2))
