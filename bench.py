@@ -21,11 +21,22 @@ extra.
 
 import functools
 import json
+import os
 import subprocess
 import sys
 import time
 
 import numpy as np
+
+# Self-calibrating stall guard (see _stall_guard_retry): best healthy
+# headline ever measured on this host, used to spot tunnel-stall episodes.
+_BEST_SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_best.json")
+# Below this fraction of the recorded best, a run is treated as a suspected
+# axon tunnel stall (observed 2026-08-19: 259 img/s vs a healthy 5945 —
+# 23x — from intermittent dispatch stalls; chip-state variance is only a
+# few percent, so 0.5 cleanly separates the two).
+_STALL_FRACTION = 0.5
 
 
 def _probe_backend(timeout_s: float = 240.0):
@@ -50,6 +61,55 @@ def _probe_backend(timeout_s: float = 240.0):
         print(f"bench.py: backend probe failed (exit {e.returncode}); "
               "aborting", file=sys.stderr)
         sys.exit(2)
+
+
+def _read_best(path=_BEST_SIDECAR):
+    try:
+        with open(path) as fh:
+            return float(json.load(fh)["img_per_s"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def _write_best(v, path=_BEST_SIDECAR):
+    try:
+        with open(path, "w") as fh:
+            json.dump({"img_per_s": round(v, 1)}, fh)
+    except OSError:
+        pass
+
+
+def stall_guard_retry(measure, sidecar=_BEST_SIDECAR, sleep=time.sleep,
+                      max_retries=2):
+    """Re-measure through axon tunnel-stall episodes.
+
+    The tunnel intermittently stalls dispatches for minutes at a time
+    (CLAUDE.md 2026-08-19: a healthy 5945 img/s program measured 259 —
+    every best-of-3 window equally slow, so min-taking cannot save the
+    number). Guard: compare against the best healthy headline this host
+    ever recorded (sidecar, updated on every non-degraded run); a result
+    below _STALL_FRACTION of it is re-measured up to `max_retries` times
+    after 30 s cool-downs, keeping the max. Throughput is a max-statistic,
+    so retries only improve accuracy; a genuine code regression is still
+    reported (flagged `suspected_tunnel_stall`) after ~2.5 min of extra
+    wall — never hidden. Returns (value, degraded)."""
+    best_known = _read_best(sidecar)
+    value = measure()
+    retries = 0
+    while (best_known is not None
+           and value < _STALL_FRACTION * best_known and retries < max_retries):
+        print(f"bench.py: {value:.0f} img/s is <{_STALL_FRACTION:.0%} of "
+              f"the recorded healthy best ({best_known:.0f}); suspected "
+              "tunnel stall — cooling down 30 s and re-measuring",
+              file=sys.stderr)
+        sleep(30)
+        value = max(value, measure())
+        retries += 1
+    degraded = (best_known is not None
+                and value < _STALL_FRACTION * best_known)
+    if not degraded and (best_known is None or value > best_known):
+        _write_best(value, sidecar)
+    return value, degraded
 
 
 def main():
@@ -141,9 +201,9 @@ def main():
         return n_iters * batch / best
 
     # ---- headline: fused forward + peaked-content decode ----
-    imgs_per_s = best_of_3(
+    imgs_per_s, degraded = stall_guard_retry(lambda: best_of_3(
         lambda: fused_peaked(params, frames, peaked, decode_cfg),
-        lambda out: out[0].pose_scores)
+        lambda out: out[0].pose_scores))
 
     # p50 per-batch latency (single dispatch + barrier; includes tunnel RTT).
     lat = []
@@ -167,7 +227,8 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(imgs_per_s / baseline, 2),
         "extra": {"p50_batch_ms": round(p50_ms, 2), "batch": batch,
-                  "flat_content_img_per_s": round(flat_imgs_per_s, 1)},
+                  "flat_content_img_per_s": round(flat_imgs_per_s, 1),
+                  **({"suspected_tunnel_stall": True} if degraded else {})},
     }))
 
 
