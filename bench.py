@@ -37,6 +37,13 @@ _BEST_SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # 23x — from intermittent dispatch stalls; chip-state variance is only a
 # few percent, so 0.5 cleanly separates the two).
 _STALL_FRACTION = 0.5
+# Known-healthy floor for THIS benchmark config (m101 513x513 b128 fused):
+# every healthy measurement across rounds 1-4 exceeded 5000 img/s, and a
+# stalled tunnel measures in the hundreds. Seeds the guard on a fresh host
+# (no sidecar yet) so a first run during a stall episode is still flagged
+# instead of being recorded as the healthy best (advisor r4), and gates
+# sidecar writes so a stalled value can never become the baseline.
+_HEALTHY_FLOOR = 2000.0
 
 
 def _probe_backend(timeout_s: float = 240.0):
@@ -92,22 +99,27 @@ def stall_guard_retry(measure, sidecar=_BEST_SIDECAR, sleep=time.sleep,
     after 30 s cool-downs, keeping the max. Throughput is a max-statistic,
     so retries only improve accuracy; a genuine code regression is still
     reported (flagged `suspected_tunnel_stall`) after ~2.5 min of extra
-    wall — never hidden. Returns (value, degraded)."""
+    wall — never hidden. Returns (value, degraded).
+
+    No-sidecar runs are seeded from _HEALTHY_FLOOR so a FIRST run on a
+    host during a stall episode is flagged rather than recorded as the
+    healthy best; the sidecar is only written by a run that needed no
+    retries AND clears the floor (advisor r4)."""
     best_known = _read_best(sidecar)
+    reference = max(best_known or 0.0, _HEALTHY_FLOOR)
     value = measure()
     retries = 0
-    while (best_known is not None
-           and value < _STALL_FRACTION * best_known and retries < max_retries):
+    while value < _STALL_FRACTION * reference and retries < max_retries:
         print(f"bench.py: {value:.0f} img/s is <{_STALL_FRACTION:.0%} of "
-              f"the recorded healthy best ({best_known:.0f}); suspected "
+              f"the known-healthy reference ({reference:.0f}); suspected "
               "tunnel stall — cooling down 30 s and re-measuring",
               file=sys.stderr)
         sleep(30)
         value = max(value, measure())
         retries += 1
-    degraded = (best_known is not None
-                and value < _STALL_FRACTION * best_known)
-    if not degraded and (best_known is None or value > best_known):
+    degraded = value < _STALL_FRACTION * reference
+    if (retries == 0 and value >= _HEALTHY_FLOOR
+            and (best_known is None or value > best_known)):
         _write_best(value, sidecar)
     return value, degraded
 

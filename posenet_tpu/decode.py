@@ -469,10 +469,12 @@ def decode_batch(heatmap, offsets, dfwd, dbwd, output_stride: int,
     use_pallas = cfg.use_pallas
     if use_pallas is None:
         # The v2/v3 row-gather kernels hold per-target split tables
-        # (H*W*690 B/image, double-buffered) in VMEM. Grids up to the
-        # measured 68 MB group=1 ceiling run in-kernel — stride-8 1080p
-        # (136x241 = 32.8k cells, 45 MB) included. Only larger grids
-        # (e.g. stride-8 4K) fall back to the XLA gather path.
+        # (H*W*690 B/image, double-buffered) in VMEM. The gate is pinned
+        # to the HW-VERIFIED envelope: _VMEM_TABLE_BUDGET_LARGE =
+        # 2*48000*_TABLE_BYTES_PER_CELL (traversal.py), the largest grid
+        # proven exact at group=1 (160x300; stride-8 1080p's 136x241 =
+        # 32.8k cells included) — deliberately NOT a round MB figure.
+        # Only larger grids (e.g. stride-8 4K) fall back to XLA gathers.
         from posenet_tpu.ops.pallas.traversal import (
             _TABLE_BYTES_PER_CELL, _VMEM_TABLE_BUDGET_LARGE)
         use_pallas = (jax.default_backend() == 'tpu'

@@ -234,14 +234,28 @@ class PoseServer:
                 if not pending:
                     return
                 # Largest exported batch repeatedly, remainder padded up.
+                # The active chunk stays prepended to `pending` until
+                # _run_chunk returns so the BaseException handler below
+                # can still signal its callers (advisor r4).
                 while pending:
                     b = self._program_batch(len(pending))
-                    chunk, pending = pending[:b], pending[b:]
-                    self._run_chunk(chunk, b)
+                    self._run_chunk(pending[:b], b)
+                    pending = pending[b:]
+                # The shutdown sentinel can be consumed INSIDE _drain's
+                # coalescing window (it sets _stop and returns the batch);
+                # without this gate the next _drain would block forever in
+                # queue.get() — the sentinel is gone and new enqueues are
+                # refused once _stop is set (advisor r4).
+                if self._stop.is_set() and self._queue.empty():
+                    return
             except BaseException as e:  # noqa: BLE001 — sole worker
                 self.healthy = False
-                self.stats["errors"] += len(pending)
-                for req in pending:
+                # Only requests not yet answered: _run_chunk may have
+                # delivered results before the raise (e.g. a late
+                # KeyboardInterrupt in its bookkeeping tail).
+                unanswered = [r for r in pending if not r.event.is_set()]
+                self.stats["errors"] += len(unanswered)
+                for req in unanswered:
                     req.error = f"device worker died: {type(e).__name__}: {e}"
                     req.event.set()
                 raise

@@ -165,32 +165,48 @@ class PosenetDataset:
         image flip would have silently mislabeled every left/right
         keypoint. A correct flip is three coupled transforms:
           1. image x-mirror,
-          2. keypoint x-mirror on the output grid: x' = (R-1) - x
-             (pixel mirror (S-1)-x_px divided by the stride, using
-             R = (S-1)/stride + 1),
+          2. keypoint x-mirror IN THE LOADER'S UNITS: the GT parsers
+             store x = x_px * R / W (parse_dataloop_json scales by
+             heatmap_shape/W, __init__ rescales by R/33), so content at
+             training pixel x_S carries label x ~= x_S * R / S. The pixel
+             mirror x_S' = (S-1) - x_S therefore maps labels as
+             x' = R*(S-1)/S - x. (NOT (R-1) - x, which assumes the
+             decode-side x_px/stride convention and would shift every
+             flipped label ~R/stride - R/S ~ 0.94 cells.) When the
+             annotation width W differs from S the constant is off by
+             R*(1/S - 1/W) < 0.07 cells (~1 px) — inside the Gaussian
+             target's tolerance and unknowable here (W was consumed at
+             parse time).
           3. keypoint CHANNEL permutation: left* parts swap with right*
              (constants.LEFT_RIGHT_SWAP, derived from PART_NAMES).
         Sentinel slots ((0,0) unlabeled / (-1,-1) padding) pass through
         untouched — same detection rule as the grid rescale in __init__.
 
-        Collision guard: a REAL keypoint at grid (y=0, x=R-1) would
-        mirror exactly onto the (0,0) unlabeled sentinel and silently
-        lose its label downstream; such (rare, image-corner) samples are
-        left unflipped instead of corrupted.
+        Guard: a sample is left UNFLIPPED (label preserved) rather than
+        corrupted when any real keypoint would mirror to x' < 0 (a
+        right-edge annotation with x > R*(S-1)/S, i.e. x_px > W-1) or
+        exactly onto the (0,0) unlabeled sentinel (y == 0 and
+        x == R*(S-1)/S exactly — essentially never on continuous loader
+        coords, but kept as a hard backstop).
         """
         f = np.flatnonzero(flips)
         k = keypoints[f][:, :, LEFT_RIGHT_SWAP, :]
         sentinel = np.all((k == 0) | (k == -1), axis=-1, keepdims=True)
         r = (self.image_size - 1) // self.output_stride + 1
-        collide = np.any(~sentinel[..., 0] & (k[..., 0] == 0)
-                         & (k[..., 1] == r - 1), axis=(1, 2))
-        if collide.any():
-            f, k, sentinel = f[~collide], k[~collide], sentinel[~collide]
+        mirror_max = r * (self.image_size - 1) / self.image_size
+        mirrored_x = mirror_max - k[..., 1]
+        live = ~sentinel[..., 0]
+        bad = np.any(live & ((mirrored_x < 0)
+                             | ((k[..., 0] == 0) & (mirrored_x == 0))),
+                     axis=(1, 2))
+        if bad.any():
+            f, k, sentinel = f[~bad], k[~bad], sentinel[~bad]
+            mirrored_x = mirrored_x[~bad]
         if f.size == 0:
             return
         images[f] = images[f][:, :, ::-1]
         mirrored = k.copy()
-        mirrored[..., 1] = (r - 1) - k[..., 1]
+        mirrored[..., 1] = mirrored_x
         keypoints[f] = np.where(sentinel, k, mirrored)
 
     def iter_batches(self, batch_size: int, shuffle: bool = True,

@@ -99,6 +99,33 @@ def test_stall_guard_small_variance_not_flagged(tmp_path):
     assert len(calls) == 1          # no retry for ordinary chip variance
 
 
+def test_stall_guard_first_run_during_stall_not_recorded(tmp_path):
+    """No sidecar yet + tunnel stalled: the guard must still flag the run
+    (seeded from _HEALTHY_FLOOR) and must NOT record the stalled value as
+    the healthy best — otherwise later stalled runs compare against a
+    stalled baseline and are never flagged (advisor r4)."""
+    sidecar = str(tmp_path / "best.json")
+    slept = []
+    value, degraded = bench.stall_guard_retry(
+        lambda: 259.0, sidecar=sidecar, sleep=slept.append)
+    assert value == 259.0 and degraded
+    assert slept == [30, 30]                   # floor-seeded retries ran
+    assert bench._read_best(sidecar) is None   # nothing recorded
+
+
+def test_stall_guard_retried_record_not_persisted(tmp_path):
+    """A run that needed retries never writes the sidecar, even when the
+    recovered value would be a record — retried windows ran on a flaky
+    tunnel and are not trusted as the healthy baseline."""
+    sidecar = str(tmp_path / "best.json")
+    bench._write_best(5000.0, sidecar)
+    seq = iter([259.0, 6100.0])
+    value, degraded = bench.stall_guard_retry(
+        lambda: next(seq), sidecar=sidecar, sleep=_no_sleep)
+    assert value == 6100.0 and not degraded
+    assert bench._read_best(sidecar) == 5000.0
+
+
 def test_read_best_corrupt_sidecar(tmp_path):
     p = tmp_path / "best.json"
     p.write_text("{not json")

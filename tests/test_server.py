@@ -316,6 +316,29 @@ def test_shutdown_answers_queued_requests(artifact):
         srv.close()
 
 
+def test_shutdown_sentinel_consumed_mid_batch(artifact):
+    """close() while the worker sits INSIDE _drain's coalescing window:
+    the sentinel is consumed mid-batch (sets _stop, returns the batch) —
+    the worker must still exit after answering it instead of blocking
+    forever in the next queue.get() (advisor r4: the sentinel is gone
+    and enqueues are refused, so nothing could ever unblock it)."""
+    import concurrent.futures
+    import time
+
+    srv = PoseServer(artifact, batch_wait_ms=300.0)
+    try:
+        with concurrent.futures.ThreadPoolExecutor(2) as ex:
+            fut = ex.submit(srv.decode_frame, _frames(1)[0], timeout_s=60.0)
+            time.sleep(0.08)   # worker now coalescing inside the window
+            srv.close()        # sentinel lands mid-window
+            assert isinstance(fut.result(timeout=60), list)
+        # the worker exited (pre-fix: alive forever, close leaked it)
+        srv._worker.join(timeout=10.0)
+        assert not srv._worker.is_alive()
+    finally:
+        srv.close()
+
+
 def test_artifact_rejects_non_uint8(artifact):
     """Float frames must raise, not be silently astype-wrapped into
     garbage poses."""

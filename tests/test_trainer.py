@@ -462,7 +462,7 @@ def test_dataset_flip_augmentation(tmp_path):
             np.testing.assert_array_equal(img_f, img_p[:, ::-1])
             expected = kp_p[:, LEFT_RIGHT_SWAP, :].copy()
             live = ~np.all((expected == 0) | (expected == -1), axis=-1)
-            expected[live, 1] = (r - 1) - expected[live, 1]
+            expected[live, 1] = r * (65 - 1) / 65 - expected[live, 1]
             np.testing.assert_allclose(kp_f, expected, rtol=1e-6)
     assert 0 < n_flipped < 8  # the coin actually lands both ways
 
@@ -491,29 +491,62 @@ def test_train_loop_with_flip_augmentation(tmp_path):
 
 
 def test_flip_skips_sentinel_collision(tmp_path):
-    """A real keypoint at grid (y=0, x=R-1) would mirror exactly onto the
-    (0,0) unlabeled sentinel; such samples must be left UNFLIPPED (label
-    preserved) rather than silently losing the keypoint."""
+    """A real keypoint that would mirror onto the (0,0) unlabeled sentinel
+    (y=0, x = R*(S-1)/S exactly) or to a NEGATIVE grid coord (right-edge
+    annotation, x > R*(S-1)/S) must leave the sample UNFLIPPED (label
+    preserved) rather than silently corrupting the supervision."""
     images, kpdir = make_synthetic_dataset(str(tmp_path), n_images=2)
     ds = PosenetDataset(images, kpdir, image_size=65, output_stride=16,
                         augment_flip=True)
     r = (65 - 1) // 16 + 1
-    # plant the collision in every sample's first pose
-    ds.keypoints[:, 0, 3] = [0.0, float(r - 1)]  # (y, x) grid coords
+    mirror_max = r * (65 - 1) / 65
     img_batch = {i: ds._load_u8(i).copy() for i in range(2)}
-    batch = ds._make_batch([0, 1], None, flips=np.array([True, True]))
-    for i in range(2):
-        np.testing.assert_array_equal(batch['image'][i],
-                                      img_batch[i].astype(np.float32)
-                                      * (2.0 / 255.0) - 1.0)
-        np.testing.assert_allclose(batch['keypoints'][i], ds.keypoints[i])
-    # without the colliding keypoint the same samples DO flip
-    ds.keypoints[:, 0, 3] = [1.0, float(r - 1)]  # y=1: mirrors to (1,0), fine
+    for planted_x in (mirror_max,            # mirrors exactly onto (0,0)
+                      mirror_max + 0.03):    # mirrors to x' < 0
+        ds.keypoints[:, 0, 3] = [0.0, planted_x]  # (y, x) grid coords
+        batch = ds._make_batch([0, 1], None, flips=np.array([True, True]))
+        for i in range(2):
+            np.testing.assert_array_equal(batch['image'][i],
+                                          img_batch[i].astype(np.float32)
+                                          * (2.0 / 255.0) - 1.0)
+            np.testing.assert_allclose(batch['keypoints'][i],
+                                       ds.keypoints[i])
+    # y=1 at the exact mirror_max lands on (1,0) — a real coord; DOES flip
+    ds.keypoints[:, 0, 3] = [1.0, mirror_max]
     batch2 = ds._make_batch([0, 1], None, flips=np.array([True, True]))
     for i in range(2):
         np.testing.assert_array_equal(
             batch2['image'][i],
             (img_batch[i].astype(np.float32) * (2.0 / 255.0) - 1.0)[:, ::-1])
+
+
+def test_flip_content_label_consistency(tmp_path):
+    """Flipped (image, label) pairs must stay consistent under the LOADER's
+    coordinate convention (x_grid = x_px * R / S): paint a unique marker
+    pixel, label it per the convention, flip, and check the label still
+    points at the marker's new pixel — asserting the semantics, not the
+    mirror formula (advisor r4: the (R-1)-x formula passed the formula
+    test while shifting every flipped label ~0.94 cells)."""
+    import cv2
+    s, stride = 65, 16
+    r = (s - 1) // stride + 1
+    images, kpdir = make_synthetic_dataset(str(tmp_path), n_images=1)
+    ds = PosenetDataset(images, kpdir, image_size=s, output_stride=stride,
+                        augment_flip=True, cache_images=True)
+    py, px = 20, 47                       # marker training pixel
+    frame = np.zeros((s, s, 3), np.uint8)
+    frame[py, px] = (255, 10, 10)
+    ds._cache[0] = frame                  # bypass disk: exact content
+    ds.keypoints[0] = -1.0                # clear, then one live keypoint
+    ds.keypoints[0, 0, 0] = [py * r / s, px * r / s]   # loader convention
+    batch = ds._make_batch([0], None, flips=np.array([True]))
+    img, kp = batch['image'][0], batch['keypoints'][0]
+    # marker moved to the mirrored pixel
+    my, mx = np.unravel_index(img[..., 0].argmax(), img[..., 0].shape)
+    assert (my, mx) == (py, (s - 1) - px)
+    # label points at the SAME pixel under the SAME convention
+    np.testing.assert_allclose(
+        kp[0, 0], [my * r / s, mx * r / s], atol=1e-5)
 
 
 def test_iter_batches_augment_override(tmp_path):
