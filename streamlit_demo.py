@@ -52,6 +52,52 @@ def annotate_frame(frame, model, scale_factor, min_pose_score, min_part_score):
         min_pose_score=min_pose_score, min_part_score=min_part_score)
 
 
+def annotate_video(video_path, out_path, model, scale_factor,
+                   min_pose_score, min_part_score, progress_cb=None):
+    """Video file -> annotated mp4 at `out_path`, one decoded overlay per
+    frame. Returns the number of frames written (0 = nothing decodable:
+    unsupported codec or corrupt file, in which case no output file is
+    produced). Pure processing — no streamlit dependency — so the app's
+    only untestable surface is widget wiring (the reference's video branch
+    broke exactly because its processing was welded to the UI,
+    /root/reference/streamlit_demo.py:196-232).
+
+    `progress_cb(done_fraction)` is invoked after each frame when given.
+    """
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    writer = None
+    # some containers report 0 or -1 for an unknown frame count
+    n_frames = max(int(cap.get(cv2.CAP_PROP_FRAME_COUNT)), 1)
+    i = 0
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            overlay = annotate_frame(frame, model, scale_factor,
+                                     min_pose_score, min_part_score)
+            if writer is None:
+                os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+                fps = cap.get(cv2.CAP_PROP_FPS)
+                writer = cv2.VideoWriter(
+                    out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                    fps if fps > 0 else 15.0,
+                    (overlay.shape[1], overlay.shape[0]))
+            writer.write(overlay)
+            i += 1
+            if progress_cb is not None:
+                progress_cb(min(i / n_frames, 1.0))
+    finally:
+        # release even if annotate_frame raises mid-video — otherwise each
+        # failed attempt leaks an open capture/writer handle.
+        cap.release()
+        if writer is not None:
+            writer.release()
+    return i
+
+
 def main():
     import cv2
 
@@ -107,41 +153,18 @@ def main():
             tfile.write(up.read())
             tfile.flush()
             tfile.close()  # BufferedWriter tail must hit disk before cv2 opens it
-            cap = cv2.VideoCapture(tfile.name)
             os.makedirs(output_dir, exist_ok=True)
             out_path = os.path.join(output_dir, "output.mp4")
-            writer = None
             progress = st.progress(0.0)
-            # some containers report 0 or -1 for an unknown frame count
-            n_frames = max(int(cap.get(cv2.CAP_PROP_FRAME_COUNT)), 1)
-            i = 0
             t0 = time.time()
             try:
-                while True:
-                    ok, frame = cap.read()
-                    if not ok:
-                        break
-                    overlay = annotate_frame(frame, model, scale_factor,
-                                             min_pose_score, min_part_score)
-                    if writer is None:
-                        fps = cap.get(cv2.CAP_PROP_FPS)
-                        writer = cv2.VideoWriter(
-                            out_path, cv2.VideoWriter_fourcc(*"mp4v"),
-                            fps if fps > 0 else 15.0,
-                            (overlay.shape[1], overlay.shape[0]))
-                    writer.write(overlay)
-                    i += 1
-                    progress.progress(min(i / n_frames, 1.0))
+                n = annotate_video(tfile.name, out_path, model, scale_factor,
+                                   min_pose_score, min_part_score,
+                                   progress_cb=progress.progress)
             finally:
-                # release/unlink even if annotate_frame raises mid-video —
-                # otherwise each failed attempt leaks a /tmp copy and an
-                # open capture/writer handle.
-                cap.release()
-                os.unlink(tfile.name)
-                if writer is not None:
-                    writer.release()
-            if writer is not None:
-                st.write(f"{i} frames in {time.time()-t0:.1f}s")
+                os.unlink(tfile.name)  # never leak the /tmp upload copy
+            if n > 0:
+                st.write(f"{n} frames in {time.time()-t0:.1f}s")
                 with open(out_path, "rb") as f:
                     st.download_button("Download annotated video", f,
                                        file_name="output.mp4")
