@@ -90,6 +90,24 @@ class DecodedPoses(NamedTuple):
     keypoint_scores: jax.Array   # (P, 17)
     keypoint_coords: jax.Array   # (P, 17, 2)  y,x image px at input resolution
     pose_offsets: jax.Array      # (P, 17, 2)  per-keypoint refinement offsets
+    # Total above-threshold local maxima in the heatmap (int32 scalar, or
+    # (B,) batched) — BEFORE the static top-K truncation. The decoder keeps
+    # only the cfg.max_candidates best-scoring candidates (static shapes;
+    # the reference's list grows unboundedly, decode_multi.py:31-34), so
+    # candidate_count > max_candidates means this image decoded from a
+    # TRUNCATED pool and may miss low-scoring root candidates — the
+    # runtime-observable form of the PARITY.md truncation caveat. Costs
+    # one reduction over the already-computed NMS mask.
+    candidate_count: jax.Array = None
+
+    def overflowed(self, max_candidates: int):
+        """Bool (or (B,) bool): did the candidate pool exceed the decoder's
+        static top-K budget? See `candidate_count`."""
+        if self.candidate_count is None:
+            raise ValueError(
+                "this DecodedPoses carries no candidate_count (e.g. it was "
+                "deserialized from a pre-r5 serving artifact)")
+        return self.candidate_count > max_candidates
 
 
 def split_yx(packed: jax.Array, n: int) -> jax.Array:
@@ -303,8 +321,9 @@ def decode_single(heatmap: jax.Array, offsets: jax.Array, dfwd: jax.Array,
       offsets: (H, W, 34) packed [y||x].
       dfwd/dbwd: (H, W, 32) packed [y||x].
     """
-    sov_table, dfwd_table, dbwd_table, cand_scores, cand_kp, root_coords = \
-        _prepare_decode(heatmap, offsets, dfwd, dbwd, output_stride, cfg)
+    (sov_table, dfwd_table, dbwd_table, cand_scores, cand_kp, root_coords,
+     n_cand) = _prepare_decode(heatmap, offsets, dfwd, dbwd, output_stride,
+                               cfg)
     h, w, _ = heatmap.shape
 
     # Decode ALL candidate poses in parallel — the traversal is independent
@@ -317,7 +336,8 @@ def decode_single(heatmap: jax.Array, offsets: jax.Array, dfwd: jax.Array,
     # all_scores (K, 17); all_coords (K, 17, 2); all_offsets (K, 17, 2)
 
     return _greedy_accept(cand_scores, cand_kp, root_coords, all_scores,
-                          all_coords, all_offsets, cfg)
+                          all_coords, all_offsets,
+                          cfg)._replace(candidate_count=n_cand)
 
 
 def _prepare_decode(heatmap, offsets, dfwd, dbwd, output_stride: int,
@@ -336,8 +356,12 @@ def _prepare_decode(heatmap, offsets, dfwd, dbwd, output_stride: int,
     dfwd_table = dfwd.reshape(h * w, 2 * NUM_EDGES)              # (HW, 32)
     dbwd_table = dbwd.reshape(h * w, 2 * NUM_EDGES)
 
-    # Part selection: local-max NMS + global descending top-K.
+    # Part selection: local-max NMS + global descending top-K. The mask
+    # reduction makes top-K truncation observable at runtime (see
+    # DecodedPoses.candidate_count) — the mask is already materialized, so
+    # the count is one extra sum.
     mask = local_max_mask(heatmap, cfg.score_threshold, LOCAL_MAXIMUM_RADIUS)
+    n_cand = jnp.sum(mask, dtype=jnp.int32)
     select = (top_k_candidates_two_stage if cfg.two_stage_topk
               else top_k_candidates)
     cand_scores, cand_kp, cand_y, cand_x = select(
@@ -351,7 +375,8 @@ def _prepare_decode(heatmap, offsets, dfwd, dbwd, output_stride: int,
                               2 * NUM_KEYPOINTS + cand_kp], -1), axis=1)
     cand_cell = jnp.stack([cand_y, cand_x], -1).astype(jnp.float32)
     root_coords = cand_cell * output_stride + off_row            # (K, 2)
-    return sov_table, dfwd_table, dbwd_table, cand_scores, cand_kp, root_coords
+    return (sov_table, dfwd_table, dbwd_table, cand_scores, cand_kp,
+            root_coords, n_cand)
 
 
 def _greedy_accept(cand_scores, cand_kp, root_coords, all_scores, all_coords,
@@ -489,14 +514,15 @@ def decode_batch(heatmap, offsets, dfwd, dbwd, output_stride: int,
 
     prep = jax.vmap(
         lambda hm, o, f, b: _prepare_decode(hm, o, f, b, output_stride, cfg))
-    sov, dft, dbt, cand_scores, cand_kp, root_coords = prep(
+    sov, dft, dbt, cand_scores, cand_kp, root_coords, n_cand = prep(
         heatmap, offsets, dfwd, dbwd)
     all_scores, all_coords, all_offsets = traverse_all_candidates_pallas(
         cand_scores, cand_kp, root_coords, sov, dft, dbt, h, w, output_stride,
         interpret=jax.default_backend() != 'tpu')
     return jax.vmap(
         lambda cs, ck, rc, s, c, o: _greedy_accept(cs, ck, rc, s, c, o, cfg)
-    )(cand_scores, cand_kp, root_coords, all_scores, all_coords, all_offsets)
+    )(cand_scores, cand_kp, root_coords, all_scores, all_coords,
+      all_offsets)._replace(candidate_count=n_cand)
 
 
 # ---------------------------------------------------------------------------

