@@ -56,7 +56,9 @@ def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
 def loss_fn(params, batch: Dict[str, jax.Array], model_cfg: ModelConfig,
             train_cfg: TrainConfig, reduce: bool = True
             ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """batch: {'image': (B,H,W,3) float in [-1,1], 'keypoints': (B,P,17,2)}.
+    """batch: {'image': (B,H,W,3) float in [-1,1], 'keypoints': (B,P,17,2),
+    optionally 'weights': (B,) per-item loss weights (1 real / 0 padding —
+    see pad_batch_to)}.
 
     reduce=False returns per-item (B,) metric vectors instead of batch
     means (metrics['loss'] is then a vector — gradient callers must keep
@@ -68,7 +70,18 @@ def loss_fn(params, batch: Dict[str, jax.Array], model_cfg: ModelConfig,
         out['heatmap_logits'], out['offset'], batch['keypoints'],
         model_cfg.output_stride,
         heatmap_weight=train_cfg.heatmap_loss_weight,
-        offset_weight=train_cfg.offset_loss_weight, reduce=reduce)
+        offset_weight=train_cfg.offset_loss_weight, reduce=False)
+    if not reduce:
+        return metrics['loss'], metrics
+    w = batch.get('weights')
+    if w is None:
+        metrics = jax.tree.map(jnp.mean, metrics)
+    else:
+        # Weighted mean over REAL items only: with {0,1} weights this is
+        # exactly the unpadded batch's mean, so gradients through a padded
+        # batch are bit-for-semantics those of the true batch.
+        denom = jnp.sum(w)
+        metrics = jax.tree.map(lambda v: jnp.sum(v * w) / denom, metrics)
     return metrics['loss'], metrics
 
 
@@ -109,8 +122,39 @@ def _step_batch(batch):
     iter_batches yields extra host-side entries ('filenames',
     'offset_vectors') whose pytree structure would fail the mesh-compiled
     step's in_shardings; filtering here makes the step robust to the
-    documented batch format instead of requiring every caller to slice."""
-    return {k: batch[k] for k in _STEP_KEYS}
+    documented batch format instead of requiring every caller to slice.
+    'weights' is synthesized (all-ones) when absent so padded and unpadded
+    batches share ONE pytree structure — and therefore one compiled
+    program and one in_shardings spec."""
+    import numpy as np
+
+    out = {k: batch[k] for k in _STEP_KEYS}
+    w = batch.get('weights')
+    out['weights'] = (np.ones(out['image'].shape[0], np.float32)
+                      if w is None else w)
+    return out
+
+
+def pad_batch_to(batch, n: int):
+    """Pad a short batch up to `n` items with a 'weights' vector zeroing
+    the pads. The step's weighted-mean loss then equals the TRUE batch's
+    mean exactly, so mesh-sharded training/eval consume epoch remainders
+    (reference DataLoader drop_last=False semantics) at one compiled
+    shape instead of dropping data. Pads WRAP real items rather than
+    zero-filling: an all-sentinel zero sample could produce NaN metrics
+    that 0-weight multiplication cannot cancel (0 * nan = nan)."""
+    import numpy as np
+
+    b = int(batch['image'].shape[0])
+    if b > n:
+        raise ValueError(f'batch of {b} cannot be padded down to {n}')
+    out = dict(batch)
+    if b < n:
+        idx = np.resize(np.arange(b), n)
+        out['image'] = np.asarray(batch['image'])[idx]
+        out['keypoints'] = np.asarray(batch['keypoints'])[idx]
+    out['weights'] = (np.arange(n) < b).astype(np.float32)
+    return out
 
 
 def make_train_step(tx, model_cfg: ModelConfig, train_cfg: TrainConfig,
@@ -132,7 +176,8 @@ def make_train_step(tx, model_cfg: ModelConfig, train_cfg: TrainConfig,
     data = mesh_lib.data_sharding(mesh)
     jfn = jax.jit(
         fn,
-        in_shardings=(repl, {'image': data, 'keypoints': data}),
+        in_shardings=(repl, {'image': data, 'keypoints': data,
+                             'weights': data}),
         out_shardings=(repl, repl),
     )
     return lambda state, batch: jfn(state, _step_batch(batch))
@@ -151,6 +196,7 @@ def make_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
     repl = mesh_lib.replicated_sharding(mesh)
     data = mesh_lib.data_sharding(mesh)
     jfn = jax.jit(fn,
-                  in_shardings=(repl, {'image': data, 'keypoints': data}),
+                  in_shardings=(repl, {'image': data, 'keypoints': data,
+                                       'weights': data}),
                   out_shardings=data if per_item else repl)
     return lambda params, batch: jfn(params, _step_batch(batch))

@@ -325,22 +325,18 @@ def train(train_dataset: PosenetDataset,
     no_improve = 0
 
     # The reference DataLoader keeps the last partial batch (drop_last
-    # defaults False); so do we when unsharded — the remainder shape is
-    # constant across epochs, so it costs exactly one extra compile.
-    # Under a mesh, batches must divide the device count, so the remainder
-    # IS dropped (loudly) and a dataset shorter than one batch wraps.
-    train_iter_kwargs = dict(drop_remainder=mesh is not None,
-                             wrap_if_short=mesh is not None)
-    if mesh is not None:
-        if len(train_dataset) < train_cfg.batch_size:
-            print(f'note: mesh-sharded training wraps the '
-                  f'{len(train_dataset)}-image dataset to fill one '
-                  f'{train_cfg.batch_size}-image batch (samples repeat '
-                  f'within the batch every epoch)')
-        elif len(train_dataset) % train_cfg.batch_size:
-            rem = len(train_dataset) % train_cfg.batch_size
-            print(f'note: mesh-sharded training drops the {rem}-image '
-                  f'epoch remainder (batches must divide the mesh)')
+    # defaults False); so do we. Unsharded, the remainder runs at its own
+    # (constant across epochs) shape — one extra compile. Under a mesh,
+    # jit in_shardings require mesh-divisible batches, so the remainder is
+    # PADDED up to the full batch size with zero-weight wrap items
+    # (train_step.pad_batch_to): exact true-batch gradients, one compiled
+    # shape, no dropped data (pre-r5 behavior dropped it loudly).
+    train_iter_kwargs = dict(drop_remainder=False)
+    if mesh is not None and len(train_dataset) % train_cfg.batch_size:
+        rem = len(train_dataset) % train_cfg.batch_size
+        print(f'note: mesh-sharded training pads the {rem}-image epoch '
+              f'remainder up to batch {train_cfg.batch_size} with '
+              f'zero-weight items (exact gradients, one compiled shape)')
 
     for epoch in range(train_cfg.num_epochs):
         t0 = time.time()
@@ -355,7 +351,9 @@ def train(train_dataset: PosenetDataset,
             device_batch = {'image': batch['image'],
                             'keypoints': batch['keypoints']}
             if mesh is not None:
-                device_batch = mesh_lib.shard_batch(device_batch, mesh)
+                device_batch = mesh_lib.shard_batch(
+                    ts.pad_batch_to(device_batch, train_cfg.batch_size),
+                    mesh)
             state, m = step_fn(state, device_batch)
             train_losses.append(m)
 
@@ -365,21 +363,23 @@ def train(train_dataset: PosenetDataset,
         log = {'epoch': epoch, **{f'train_{k}': v for k, v in train_metrics.items()}}
 
         if test_dataset is not None:
-            eval_losses = []
+            eval_losses = []   # (batch-mean loss, real item count) pairs
             oks_vals, map_vals = [], []
-            # Under a mesh, eval_fn is jitted with in_shardings=P('data'):
-            # a trailing batch not divisible by the mesh size fails to shard
-            # (and any distinct shape recompiles), so drop the remainder.
-            # wrap_if_short: a test set smaller than one (mesh-divisible)
-            # batch still yields ONE wrapped batch — otherwise val_loss
-            # would be mean([]) = nan and no checkpoint would ever save.
+            # Under a mesh, the remainder batch is padded with zero-weight
+            # items (same mechanism as training); the weighted-mean eval
+            # step excludes the pads exactly. val_loss weights each batch
+            # by its REAL item count, so it is the exact per-image mean.
             for batch in test_dataset.iter_batches(
                     train_cfg.batch_size, shuffle=False,
-                    drop_remainder=mesh is not None,
-                    wrap_if_short=mesh is not None, augment=False):
+                    drop_remainder=False, augment=False):
+                n_real = batch['image'].shape[0]
                 device_batch = {'image': batch['image'],
                                 'keypoints': batch['keypoints']}
-                eval_losses.append(eval_fn(state.params, device_batch))
+                if mesh is not None:
+                    device_batch = ts.pad_batch_to(device_batch,
+                                                   train_cfg.batch_size)
+                eval_losses.append((eval_fn(state.params, device_batch),
+                                    n_real))
                 if eval_pose_metrics:
                     # scored-count weighting: see evaluate() — per-batch
                     # means cover scoreable images only.
@@ -387,7 +387,8 @@ def train(train_dataset: PosenetDataset,
                                                      model_cfg, decode_cfg)
                     oks_vals.append((oks, scored))
                     map_vals.append((ap, scored))
-            val_loss = float(np.mean([float(m['loss']) for m in eval_losses]))
+            val_loss = (sum(float(m['loss']) * n for m, n in eval_losses)
+                        / sum(n for _, n in eval_losses))
             log['test_loss'] = val_loss
             n_scored = sum(s for _, s in oks_vals)
             if eval_pose_metrics and n_scored:

@@ -1,9 +1,10 @@
-"""Worker process for the REAL 2-process distributed DP test
+"""Worker process for the REAL multi-process distributed DP tests
 (tests/test_multiprocess_dp.py).
 
-Each worker joins a jax.distributed coordinator (CPU backend, 4 forced host
-devices per process -> 8 global), builds the GLOBAL data-parallel mesh, runs
-ONE compiled DP train step on a deterministic global batch, and writes its
+Each worker joins a jax.distributed coordinator (CPU backend, argv-chosen
+forced host devices per process), builds the GLOBAL data-parallel mesh, runs
+ONE compiled DP train step on a deterministic global batch (padded with
+zero-weight items when it does not divide the device count), and writes its
 replicated loss + a post-update parameter fingerprint to a JSON file. The
 parent test asserts both processes agree with each other AND with the
 single-process 8-device step — the multi-host happy path the rest of the
@@ -20,6 +21,13 @@ import sys
 def main():
     coord, pid, nprocs, out_path = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    # Optional: local device count (must match the parent's XLA_FLAGS
+    # --xla_force_host_platform_device_count) and the TRUE global batch
+    # size. A batch that does not divide the global device count is padded
+    # with zero-weight wrap items (train_step.pad_batch_to) — the 4-process
+    # test drives exactly that path.
+    n_local = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+    global_batch = int(sys.argv[6]) if len(sys.argv) > 6 else 8
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if repo_root not in sys.path:
@@ -50,19 +58,25 @@ def main():
     from posenet_tpu.training import train_step as ts
 
     devs = jax.devices()
-    assert len(devs) == 4 * nprocs, devs
+    assert len(devs) == n_local * nprocs, devs
+    n_global_devs = len(devs)
     mesh = mesh_lib.make_mesh()  # global mesh over all processes' devices
 
     model_cfg = ModelConfig(model_id=50, output_stride=16)
     train_cfg = TrainConfig(model_id=50)
-    # Deterministic init: both processes derive identical params from the
+    # Deterministic init: all processes derive identical params from the
     # same PRNG key (required — DP state is replicated by construction).
     params = mobilenet_v1.init_params(jax.random.PRNGKey(1), model_cfg)
     state, tx = ts.init_train_state(params, train_cfg)
 
     rng = np.random.RandomState(1)
-    images = rng.uniform(-1, 1, (8, 33, 33, 3)).astype(np.float32)
-    kps = rng.uniform(0, 2, (8, 3, 17, 2)).astype(np.float32)
+    images = rng.uniform(-1, 1, (global_batch, 33, 33, 3)).astype(np.float32)
+    kps = rng.uniform(0, 2, (global_batch, 3, 17, 2)).astype(np.float32)
+    host_batch = {'image': images, 'keypoints': kps}
+    # Uneven global batch: pad to mesh-divisible with zero-weight items —
+    # the step's weighted mean makes the result EXACTLY the true batch's.
+    pad_to = -(-global_batch // n_global_devs) * n_global_devs
+    host_batch = ts._step_batch(ts.pad_batch_to(host_batch, pad_to))
 
     data = mesh_lib.data_sharding(mesh)
     repl = mesh_lib.replicated_sharding(mesh)
@@ -72,8 +86,7 @@ def main():
         return jax.make_array_from_callback(
             arr.shape, sharding, lambda i: arr[i])
 
-    batch = {'image': globalize(images, data),
-             'keypoints': globalize(kps, data)}
+    batch = {k: globalize(v, data) for k, v in host_batch.items()}
     state = jax.tree.map(lambda x: globalize(x, repl), state)
 
     step = ts.make_train_step(tx, model_cfg, train_cfg, mesh=mesh)

@@ -221,6 +221,50 @@ def test_train_step_dp_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_padded_dp_step_matches_true_batch():
+    """An UNEVEN batch (10 items over 8 devices) padded with zero-weight
+    wrap items must produce EXACTLY the true 10-item step: the weighted
+    mean excludes the pads from loss and gradients, so mesh training can
+    consume epoch remainders instead of dropping them."""
+    model_cfg = ModelConfig(model_id=50, output_stride=16)
+    train_cfg = TrainConfig(model_id=50)
+    params = mobilenet_v1.init_params(jax.random.PRNGKey(1), model_cfg)
+
+    rng = np.random.RandomState(2)
+    batch = {
+        'image': rng.uniform(-1, 1, (10, 33, 33, 3)).astype(np.float32),
+        'keypoints': rng.uniform(0, 2, (10, 3, 17, 2)).astype(np.float32),
+    }
+
+    state, tx = ts.init_train_state(params, train_cfg)
+    s_true, m_true = ts.make_train_step(tx, model_cfg, train_cfg)(
+        state, batch)
+
+    padded = ts.pad_batch_to(batch, 16)
+    assert padded['image'].shape[0] == 16
+    np.testing.assert_array_equal(padded['weights'],
+                                  ([1.0] * 10 + [0.0] * 6))
+    # pads wrap real items (no degenerate zero images)
+    np.testing.assert_array_equal(padded['image'][10], batch['image'][0])
+
+    mesh = mesh_lib.make_mesh(8)
+    state_r = mesh_lib.replicate(state, mesh)
+    batch_r = mesh_lib.shard_batch(padded, mesh)
+    s_pad, m_pad = ts.make_train_step(tx, model_cfg, train_cfg, mesh=mesh)(
+        state_r, batch_r)
+
+    np.testing.assert_allclose(float(m_true['loss']), float(m_pad['loss']),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_true.params),
+                    jax.tree.leaves(s_pad.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # a batch can never be padded DOWN
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="padded down"):
+        ts.pad_batch_to(batch, 8)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
