@@ -29,8 +29,9 @@ Design:
   rows are zero frames whose results are dropped). Under load this rides
   the big-batch program (5497 img/s at b128 vs ~35 req/s at b1 on v5e —
   batching IS the serving throughput story on TPU).
-- **Host does images, device does math**: JPEG/PNG decode + resize to the
-  artifact's input resolution stay on the request thread (cv2); only
+- **Host does images, device does math**: JPEG/PNG decode (cv2) + fused
+  resize/BGR->RGB (native/preprocess.cpp, cv2 fallback) to the artifact's
+  input resolution stay on the request thread; only
   uint8 frames cross into the worker. Coordinates are scaled back to the
   source resolution before replying, same contract as the reference's
   `keypoint_coords *= output_scale` (reference image_demo.py:50).
@@ -376,8 +377,13 @@ class PoseServer:
         if bgr is None:
             raise ValueError("could not decode image bytes (JPEG/PNG?)")
         sh, sw = bgr.shape[:2]
-        resized = cv2.resize(bgr, (tw, th), interpolation=cv2.INTER_LINEAR)
-        frame = np.ascontiguousarray(resized[..., ::-1])  # BGR -> RGB
+        # Fastest measured resize+BGR->RGB (native_preprocess.resize_rgb:
+        # cv2 resize + cvtColor, 0.83 ms/720p frame vs 2.30 ms for the
+        # old resize + ::-1 numpy copy this replaced; the native C++ lib
+        # is the cv2-free fallback). Request threads spend their host
+        # time here, not in the device queue.
+        from posenet_tpu import native_preprocess as npp
+        frame = npp.resize_rgb(bgr, (th, tw))
         poses = self.decode_frame(frame, scale_yx=(sh / th, sw / tw),
                                   **thresholds)
         return poses, [sh, sw]

@@ -89,6 +89,32 @@ def test_native_preprocess_matches_cv2():
         norm, single.astype(np.float32) * (2 / 255) - 1, atol=1e-6)
 
 
+def test_resize_rgb_backend_policy():
+    """resize_rgb is THE serving/video host hot-path op: 'auto' must pick
+    the measured-fastest cv2 path (resize + cvtColor — the ::-1 numpy copy
+    it replaced cost 3x, PERF.md), backends must agree to +-1 LSB, and
+    explicit backends must fail loudly when unavailable."""
+    import cv2
+
+    from posenet_tpu import native_preprocess as npp
+
+    rng = np.random.RandomState(7)
+    bgr = rng.randint(0, 255, (240, 320, 3), dtype=np.uint8)
+    auto = npp.resize_rgb(bgr, (97, 161))
+    ref = cv2.cvtColor(cv2.resize(bgr, (161, 97),
+                                  interpolation=cv2.INTER_LINEAR),
+                       cv2.COLOR_BGR2RGB)
+    np.testing.assert_array_equal(auto, ref)        # auto == cv2 path here
+    np.testing.assert_array_equal(npp.resize_rgb(bgr, (97, 161), 'cv2'), ref)
+
+    if npp.native_available():
+        nat = npp.resize_rgb(bgr, (97, 161), 'native')
+        assert np.abs(nat.astype(int) - ref.astype(int)).max() <= 1
+
+    with pytest.raises(ValueError, match='backend'):
+        npp.resize_rgb(bgr, (97, 161), 'mystery')
+
+
 def test_draw_functions():
     from posenet_tpu.draw import (draw_keypoints, draw_skel_and_kp,
                                   draw_skeleton, get_adjacent_keypoints)

@@ -114,3 +114,32 @@ def test_video_demo_missing_file(monkeypatch, tmp_path):
         '--model', '50', '--allow_random_init'])
     with pytest.raises(IOError, match='could not open video'):
         video_demo.main()
+
+
+def test_video_demo_resize_backend_flag(tmp_path, monkeypatch, capsys):
+    """--resize_backend: cv2 forces the two-pass host path; 'native'
+    errors loudly when the shared library is absent; auto picks native
+    when built (the default e2e test above exercises it). Frame-level
+    native-vs-cv2 agreement (+-1 LSB) is pinned in test_preprocess.py."""
+    import sys as _sys
+
+    import video_demo
+    from posenet_tpu import native_preprocess as npp
+
+    src = str(tmp_path / 'in.mp4')
+    _write_video(src, n_frames=3, hw=(48, 64))
+    monkeypatch.setattr(_sys, 'argv', [
+        'video_demo.py', '--video', src, '--model', '50',
+        '--resize', '33x33', '--batch_size', '3',
+        '--resize_backend', 'cv2', '--allow_random_init'])
+    video_demo.main()
+    assert 'Processed 3 frames' in capsys.readouterr().out
+
+    # explicit native with no .so built -> actionable SystemExit
+    monkeypatch.setattr(npp, 'native_available', lambda: False)
+    monkeypatch.setattr(_sys, 'argv', [
+        'video_demo.py', '--video', src, '--model', '50',
+        '--resize', '33x33', '--resize_backend', 'native',
+        '--allow_random_init'])
+    with pytest.raises(SystemExit, match='not.*built|make -C native'):
+        video_demo.main()

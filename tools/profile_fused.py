@@ -7,6 +7,10 @@ plus a coarse phase rollup keyed on op-name substrings, so "decode prep is
 ~2 ms" claims resolve to actual ops (transposes? top-k sort? one-hot builds?).
 
 Usage: timeout 600 python tools/profile_fused.py [--iters 5] [--batch 128]
+
+--model/--output_stride/--height/--width profile OTHER BASELINE configs
+(e.g. config 3: --model 101 --output_stride 8 --height 721 --width 1281
+--batch 4) with the same peaked-decode-content methodology.
 """
 
 import argparse
@@ -25,6 +29,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--size", type=int, default=513)
+    ap.add_argument("--height", type=int, default=0, help="overrides --size")
+    ap.add_argument("--width", type=int, default=0, help="overrides --size")
+    ap.add_argument("--model", type=int, default=101)
+    ap.add_argument("--output_stride", type=int, default=16)
     ap.add_argument("--top", type=int, default=60)
     ap.add_argument("--trace_dir", default="/tmp/posenet_profile_fused")
     args = ap.parse_args()
@@ -38,8 +46,11 @@ def main():
     from posenet_tpu.models import mobilenet_v1
     from posenet_tpu.profiling import device_time_report
 
-    batch, size = args.batch, args.size
-    cfg = ModelConfig(model_id=101, output_stride=16,
+    batch = args.batch
+    height = args.height or args.size
+    width = args.width or args.size
+    stride = args.output_stride
+    cfg = ModelConfig(model_id=args.model, output_stride=stride,
                       compute_dtype=jnp.bfloat16)
     decode_cfg = DecodeConfig(min_pose_score=0.25)
     params = mobilenet_v1.cast_params(
@@ -47,19 +58,21 @@ def main():
         cfg.compute_dtype)
 
     frames = (jax.random.uniform(jax.random.PRNGKey(0),
-                                 (batch, size, size, 3)) * 255).astype(jnp.uint8)
+                                 (batch, height, width, 3)) * 255
+              ).astype(jnp.uint8)
     jax.block_until_ready(frames)
 
-    r = (size - 1) // 16 + 1
+    rh = (height - 1) // stride + 1
+    rw = (width - 1) // stride + 1
     key = jax.random.PRNGKey(7)
-    kys = jax.random.randint(key, (batch, 3, 17, 1, 1), 2, r - 2)
+    kys = jax.random.randint(key, (batch, 3, 17, 1, 1), 2, rh - 2)
     kxs = jax.random.randint(jax.random.split(key)[0],
-                             (batch, 3, 17, 1, 1), 2, r - 2)
-    yy = jnp.arange(r)[None, None, None, :, None]
-    xx = jnp.arange(r)[None, None, None, None, :]
+                             (batch, 3, 17, 1, 1), 2, rw - 2)
+    yy = jnp.arange(rh)[None, None, None, :, None]
+    xx = jnp.arange(rw)[None, None, None, None, :]
     g = jnp.exp(-((yy - kys) ** 2 + (xx - kxs) ** 2) / 4.0)
     peaked_hm = jnp.transpose(jnp.max(0.9 * g, axis=1), (0, 2, 3, 1))
-    flat_f = jax.random.uniform(key, (batch, r, r, 98)) * 16 - 8
+    flat_f = jax.random.uniform(key, (batch, rh, rw, 98)) * 16 - 8
     peaked = (peaked_hm, flat_f[..., :34], flat_f[..., 34:66],
               flat_f[..., 66:98])
     jax.block_until_ready(peaked_hm)

@@ -11,6 +11,10 @@ the serving stack itself: HTTP handoff -> coalescing queue -> device
 program -> reply. On TPU, expect req/s to track the largest exported batch
 program's throughput once clients >> batch (bench.py's fused number is the
 ceiling).
+
+--jpeg HxW instead posts an encoded JPEG at the given SOURCE resolution,
+exercising the request-thread image path too (cv2 imdecode +
+native_preprocess.resize_rgb) — the realistic client workload.
 """
 
 import argparse
@@ -28,20 +32,33 @@ def main():
     p.add_argument("--clients", type=int, default=32)
     p.add_argument("--seconds", type=float, default=20.0)
     p.add_argument("--timeout", type=float, default=120.0)
+    p.add_argument("--jpeg", default="", metavar="HxW",
+                   help="post JPEG bytes at this source resolution instead "
+                        "of a raw model-resolution frame")
     args = p.parse_args()
 
     meta = json.loads(urllib.request.urlopen(
         args.base + "/healthz", timeout=30).read())["artifact"]
     h, w = meta["input_hw"]
-    frame = (np.random.default_rng(0).integers(0, 255, (h, w, 3))
-             .astype(np.uint8).tobytes())
+    if args.jpeg:
+        import cv2
+        sh, sw = (int(d) for d in args.jpeg.lower().split("x"))
+        src = (np.random.default_rng(0).integers(0, 255, (sh, sw, 3))
+               .astype(np.uint8))
+        ok, buf = cv2.imencode(".jpg", src)
+        assert ok
+        frame, content_type = bytes(buf.tobytes()), "image/jpeg"
+    else:
+        frame = (np.random.default_rng(0).integers(0, 255, (h, w, 3))
+                 .astype(np.uint8).tobytes())
+        content_type = "application/x-posenet-frame"
     stats0 = json.loads(urllib.request.urlopen(
         args.base + "/statsz", timeout=30).read())
 
     # one warm call so compile time stays out of the measurement
     req = urllib.request.Request(
         args.base + "/v1/decode", data=frame,
-        headers={"Content-Type": "application/x-posenet-frame"})
+        headers={"Content-Type": content_type})
     urllib.request.urlopen(req, timeout=args.timeout).read()
 
     stop = time.perf_counter() + args.seconds
@@ -53,8 +70,7 @@ def main():
             try:
                 r = urllib.request.Request(
                     args.base + "/v1/decode", data=frame,
-                    headers={"Content-Type":
-                             "application/x-posenet-frame"})
+                    headers={"Content-Type": content_type})
                 urllib.request.urlopen(r, timeout=args.timeout).read()
                 dt = (time.perf_counter() - t0) * 1000
                 with lock:

@@ -48,6 +48,14 @@ def parse_args(argv=None):
                         help='write one JSON line per frame here')
     parser.add_argument('--max_frames', type=int, default=0,
                         help='stop after N frames (0 = whole video)')
+    parser.add_argument('--resize_backend', type=str, default='auto',
+                        choices=('auto', 'native', 'cv2'),
+                        help="host resize+BGR->RGB backend: 'cv2' = SIMD "
+                             "resize + cvtColor, 'native' = the C++ "
+                             'library (native/preprocess.cpp, for cv2-free '
+                             'deployments). auto picks the fastest '
+                             'measured (cv2 when importable). The two '
+                             'agree to +-1 LSB, not bitwise')
     parser.add_argument('--device_preprocess', action='store_true',
                         help='resize + BGR->RGB + normalize ON DEVICE, '
                              'fused into the inference program '
@@ -112,6 +120,11 @@ def main(argv=None):
     h, w = (int(d) for d in args.resize.lower().split('x'))
     tw, th = valid_resolution(w, h, output_stride=args.output_stride)
 
+    from posenet_tpu import native_preprocess as npp
+    if args.resize_backend == 'native' and not npp.native_available():
+        raise SystemExit('--resize_backend native: shared library not '
+                         'built (run `make -C native`)')
+
     model = posenet.load_model(args.model, output_stride=args.output_stride,
                                allow_random_init=args.allow_random_init)
     pipe = PoseNetPipeline(
@@ -150,9 +163,11 @@ def main(argv=None):
             # the fused program does BGR->RGB + resize + normalize
             rgb_frames.append(frame)
         else:
-            resized = cv2.resize(frame, (tw, th),
-                                 interpolation=cv2.INTER_LINEAR)
-            rgb_frames.append(cv2.cvtColor(resized, cv2.COLOR_BGR2RGB))
+            # fastest measured backend by default (see resize_rgb docs:
+            # cv2's SIMD wins wherever cv2 exists; native is the
+            # cv2-free path)
+            rgb_frames.append(npp.resize_rgb(frame, (th, tw),
+                                             backend=args.resize_backend))
         bgr_frames.append(frame)
         frame_ids.append(frame_count)
         frame_count += 1
