@@ -368,11 +368,22 @@ def _prepare_decode(heatmap, offsets, dfwd, dbwd, output_stride: int,
         heatmap, mask, cfg.max_candidates)
 
     # Root image coords: cell*stride + offset at the root cell
-    # (decode_multi.py:109); one row fetch per candidate.
+    # (decode_multi.py:109); one row fetch per candidate. The per-candidate
+    # CHANNEL pick is a one-hot select-reduce over the 17 lanes, not a
+    # take_along_axis: gathering 2 scalars per candidate paid ~0.35 ms of
+    # per-element gather overhead per batch-128 (r5 profile, fusion.7) vs
+    # ~free for the fused masked reduction. Exact: one lane selected, the
+    # rest contribute literal 0.0 to the sum (and a selected -0.0 still
+    # yields bit-identical root_coords through the `cell*stride +` add).
     root_rows = sov_table[cand_y * w + cand_x]                   # (K, 51)
-    off_row = jnp.take_along_axis(
-        root_rows, jnp.stack([NUM_KEYPOINTS + cand_kp,
-                              2 * NUM_KEYPOINTS + cand_kp], -1), axis=1)
+    sel = (jnp.arange(NUM_KEYPOINTS, dtype=cand_kp.dtype)[None, :]
+           == cand_kp[:, None])                                  # (K, 17)
+    off_row = jnp.stack(
+        [jnp.sum(jnp.where(sel, root_rows[:, NUM_KEYPOINTS:
+                                          2 * NUM_KEYPOINTS], 0.0), axis=1),
+         jnp.sum(jnp.where(sel, root_rows[:, 2 * NUM_KEYPOINTS:
+                                          3 * NUM_KEYPOINTS], 0.0), axis=1)],
+        axis=-1)
     cand_cell = jnp.stack([cand_y, cand_x], -1).astype(jnp.float32)
     root_coords = cand_cell * output_stride + off_row            # (K, 2)
     return (sov_table, dfwd_table, dbwd_table, cand_scores, cand_kp,
