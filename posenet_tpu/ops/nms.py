@@ -94,6 +94,45 @@ def top_k_candidates(scores: jax.Array, mask: jax.Array,
     return _pad_candidates(top_scores, kp, ys, xs, k)
 
 
+# Blockwise stage-1 gate: XLA:TPU lowers lax.top_k over a wide row to a
+# full variadic sort, which at config 3's s8 grid (91x161 = 14651 cells)
+# costs 1.69 ms/batch4 — ~100x its traffic floor and 14% of the whole
+# fused program (r5 profile). Splitting the row into cell-order blocks,
+# top-k'ing each and stable-merging halves it (probe_topk_stage1.py:
+# 2.60 -> 1.33 ms standalone; block sweep 512/1024/2048/4096 picked 2048).
+# Only worth it when the row is much wider than a block; the flagship
+# 33x33 grid (1089 cells) stays on the plain top_k.
+_BLOCKWISE_TOPK_BLOCK = 2048
+_BLOCKWISE_TOPK_MIN_CELLS = 2 * _BLOCKWISE_TOPK_BLOCK
+
+
+def _blockwise_topk(flat: jax.Array, k: int, block: int
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Exact per-row top-k of flat (..., n) via cell-order blocks.
+
+    Identical to lax.top_k(flat, k) including tie order: per-block top_k
+    ties break lowest-index-first; block-major concatenation keeps every
+    tie group in ascending global-cell order; the stable merge sort on the
+    negated scores preserves it. The -inf pad never beats a real entry
+    (real entries are masked to the -1 sentinel at worst). Verified
+    bitwise vs lax.top_k on dense tie-heavy data (probe_topk_stage1.py
+    --check)."""
+    n = flat.shape[-1]
+    nblk = -(-n // block)
+    pad = nblk * block - n
+    lead = flat.shape[:-1]
+    padded = jnp.concatenate(
+        [flat, jnp.full(lead + (pad,), -jnp.inf, flat.dtype)], axis=-1)
+    blocks = padded.reshape(lead + (nblk, block))
+    bv, bi = lax.top_k(blocks, min(k, block))
+    base = (jnp.arange(nblk, dtype=jnp.int32) * block)[:, None]
+    gi = (bi + base).reshape(lead + (-1,))
+    mv = bv.reshape(lead + (-1,))
+    neg_sorted, idx_sorted = lax.sort((-mv, gi), dimension=-1,
+                                      is_stable=True, num_keys=1)
+    return -neg_sorted[..., :k], idx_sorted[..., :k]
+
+
 def top_k_candidates_two_stage(scores: jax.Array, mask: jax.Array,
                                k: int) -> Tuple[jax.Array, jax.Array,
                                                 jax.Array, jax.Array]:
@@ -120,7 +159,11 @@ def top_k_candidates_two_stage(scores: jax.Array, mask: jax.Array,
     h, w, n_kp = scores.shape
     kp_plane = min(k, h * w)
     flat = jnp.where(mask, scores, -1.0).transpose(2, 0, 1).reshape(n_kp, -1)
-    plane_scores, plane_idx = lax.top_k(flat, kp_plane)      # (17, k')
+    if h * w >= _BLOCKWISE_TOPK_MIN_CELLS and kp_plane <= _BLOCKWISE_TOPK_BLOCK:
+        plane_scores, plane_idx = _blockwise_topk(
+            flat, kp_plane, _BLOCKWISE_TOPK_BLOCK)           # (17, k')
+    else:
+        plane_scores, plane_idx = lax.top_k(flat, kp_plane)  # (17, k')
     # Merge stage: a stable ascending sort on the NEGATED scores with the
     # cell and keypoint ids carried as co-sorted operands. Equivalent to
     # the previous lax.top_k(merged) + two gathers into plane_idx /

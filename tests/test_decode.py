@@ -488,6 +488,49 @@ def test_two_stage_topk_bit_equal(seed, hw):
                                           err_msg=f"k={k} {name}")
 
 
+def test_two_stage_topk_bit_equal_large_grid():
+    """At config 3's s8 grid (91x161 = 14651 cells) the two-stage selector
+    routes stage 1 through the blockwise top-k (cells >= 2*block); it must
+    stay bit-identical to the flat global top-k, tie order included.
+    Tie-heavy by construction: scores quantized to 1/8 steps."""
+    from posenet_tpu.ops.nms import (_BLOCKWISE_TOPK_MIN_CELLS,
+                                     top_k_candidates_two_stage)
+
+    rng = np.random.RandomState(7)
+    h, w = 91, 161
+    assert h * w >= _BLOCKWISE_TOPK_MIN_CELLS  # blockwise gate engaged
+    scores = np.round(rng.uniform(0.4, 1.0, (h, w, 17)) * 8) / 8
+    scores = jnp.asarray(scores.astype(np.float32))
+    mask = local_max_mask(scores, 0.5, LOCAL_MAXIMUM_RADIUS)
+    for k in (64, 128):
+        a = top_k_candidates(scores, mask, k)
+        b = top_k_candidates_two_stage(scores, mask, k)
+        for x, y, name in zip(a, b, ("scores", "kp", "ys", "xs")):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=f"k={k} {name}")
+
+
+@pytest.mark.parametrize("n", [14651, 4096, 4097, 6000])
+def test_blockwise_topk_bit_equal(n):
+    """_blockwise_topk must reproduce lax.top_k bit-for-bit including tie
+    order (lowest index first), on tie-heavy data, masked and dense, at row
+    widths that are and are not multiples of the block (-inf pad slots must
+    never beat a real entry)."""
+    from jax import lax
+
+    from posenet_tpu.ops.nms import _BLOCKWISE_TOPK_BLOCK, _blockwise_topk
+
+    rng = np.random.RandomState(n)
+    q = np.floor(rng.uniform(0, 1, (17, n)) * 64) / 64
+    masked = np.where(rng.uniform(0, 1, (17, n)) < 0.03, q, -1.0)
+    for arr in (masked, q):
+        flat = jnp.asarray(arr.astype(np.float32))
+        rv, ri = lax.top_k(flat, 128)
+        bv, bi = _blockwise_topk(flat, 128, _BLOCKWISE_TOPK_BLOCK)
+        np.testing.assert_array_equal(np.asarray(rv), np.asarray(bv))
+        np.testing.assert_array_equal(np.asarray(ri), np.asarray(bi))
+
+
 @pytest.mark.parametrize("case", range(30))
 def test_greedy_accept_randomized_ties(case):
     """Randomized adversarial sweep of the rounds-per-pose accept vs the
