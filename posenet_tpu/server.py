@@ -167,12 +167,21 @@ class PoseServer:
     """Serving loop: artifact + coalescing worker + HTTP frontend."""
 
     def __init__(self, artifact, *, min_part_score: float = 0.0,
-                 batch_wait_ms: float = 2.0, queue_depth: int = 256):
+                 batch_wait_ms: float = 2.0, queue_depth: int = 256,
+                 pipeline_depth: int = 2):
         self.artifact = artifact
         self.input_hw = tuple(artifact.input_hw)
         self.batch_sizes = sorted(artifact.batch_sizes)
         self.min_part_score = float(min_part_score)
         self.batch_wait_s = batch_wait_ms / 1000.0
+        # 2 = depth-1 pipelining: dispatch batch N+1 (async JAX dispatch:
+        # the host builds/uploads it) before fetching batch N's results,
+        # so device compute overlaps host-side coalescing + upload — the
+        # win on upload-bound tunneled hosts. 1 = fully synchronous
+        # (dispatch, fetch, reply, repeat). Deeper queues are deliberately
+        # not offered: >2 unsynced in-flight programs degrade badly on
+        # tunneled runtimes (axon queue pathology, CLAUDE.md).
+        self.pipeline_depth = 2 if int(pipeline_depth) >= 2 else 1
         # Flipped false if the device worker thread dies; /healthz
         # reports it and new enqueues are refused (they could never be
         # answered).
@@ -213,6 +222,23 @@ class PoseServer:
             batch.append(nxt)
         return batch
 
+    def _drain_nowait(self) -> List[_Request]:
+        """Consume whatever is queued RIGHT NOW, without waiting. Used
+        while a chunk is in flight: the device's compute time is the
+        coalescing window, so adding batch_wait_s on top would only
+        delay the next dispatch."""
+        batch: List[_Request] = []
+        while len(batch) < self.batch_sizes[-1]:
+            try:
+                nxt = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._stop.set()
+                break
+            batch.append(nxt)
+        return batch
+
     def _program_batch(self, n: int) -> int:
         """Smallest exported batch size that covers n pending frames."""
         for b in self.batch_sizes:
@@ -226,42 +252,75 @@ class PoseServer:
         # so the loop is NOT gated on _stop — _drain returns [] only
         # after consuming the sentinel. A top-level guard bounds the
         # blast radius of any unexpected error: without it, one
-        # MemoryError outside _run_chunk's try would silently kill the
-        # sole device worker forever while /healthz stayed green.
+        # MemoryError outside _dispatch/_finish's try would silently kill
+        # the sole device worker forever while /healthz stayed green.
+        #
+        # Pipelining (pipeline_depth=2): at most ONE chunk is
+        # dispatched-but-unfetched at any time (`inflight`). The next
+        # chunk is built and dispatched BEFORE the in-flight one is
+        # fetched, so its upload rides the device's compute window. Two
+        # invariants keep this safe: (a) the loop NEVER blocks on the
+        # queue while a chunk is in flight — its callers would hang —
+        # so it drains non-blockingly and, when nothing is queued,
+        # fetches the in-flight chunk instead; (b) every request is
+        # reachable by the BaseException handler until answered: the
+        # active chunk stays prepended to `pending` until its dispatch
+        # returns, then lives in `inflight` until fetched (advisor r4).
         pending: List[_Request] = []
+        inflight = None  # (handles, chunk, batch_size, t0)
         while True:
             try:
-                pending = self._drain()
-                if not pending:
-                    return
+                if inflight is None:
+                    pending = self._drain()
+                    if not pending:
+                        return
+                else:
+                    pending = self._drain_nowait()
+                    if not pending:
+                        self._finish_chunk(inflight)
+                        inflight = None
+                        if self._stop.is_set() and self._queue.empty():
+                            return
+                        continue
                 # Largest exported batch repeatedly, remainder padded up.
-                # The active chunk stays prepended to `pending` until
-                # _run_chunk returns so the BaseException handler below
-                # can still signal its callers (advisor r4).
                 while pending:
                     b = self._program_batch(len(pending))
-                    self._run_chunk(pending[:b], b)
+                    nxt = self._dispatch_chunk(pending[:b], b)
+                    if inflight is not None:
+                        self._finish_chunk(inflight)
+                    inflight = nxt  # None if the dispatch itself failed
                     pending = pending[b:]
-                # The shutdown sentinel can be consumed INSIDE _drain's
+                    if self.pipeline_depth == 1 and inflight is not None:
+                        self._finish_chunk(inflight)
+                        inflight = None
+                # The shutdown sentinel can be consumed INSIDE a drain's
                 # coalescing window (it sets _stop and returns the batch);
                 # without this gate the next _drain would block forever in
                 # queue.get() — the sentinel is gone and new enqueues are
                 # refused once _stop is set (advisor r4).
-                if self._stop.is_set() and self._queue.empty():
-                    return
+                if self._stop.is_set():
+                    if inflight is not None:
+                        self._finish_chunk(inflight)
+                        inflight = None
+                    if self._queue.empty():
+                        return
             except BaseException as e:  # noqa: BLE001 — sole worker
                 self.healthy = False
-                # Only requests not yet answered: _run_chunk may have
+                # Only requests not yet answered: _finish_chunk may have
                 # delivered results before the raise (e.g. a late
                 # KeyboardInterrupt in its bookkeeping tail).
-                unanswered = [r for r in pending if not r.event.is_set()]
+                at_risk = list(inflight[1]) + pending if inflight else pending
+                unanswered = [r for r in at_risk if not r.event.is_set()]
                 self.stats["errors"] += len(unanswered)
                 for req in unanswered:
                     req.error = f"device worker died: {type(e).__name__}: {e}"
                     req.event.set()
                 raise
 
-    def _run_chunk(self, chunk: List[_Request], batch_size: int):
+    def _dispatch_chunk(self, chunk: List[_Request], batch_size: int):
+        """Build + dispatch one padded batch; NO result fetch. Returns the
+        in-flight record for _finish_chunk, or None (callers already
+        failed) if the dispatch itself raised."""
         import time
 
         t0 = time.perf_counter()
@@ -270,6 +329,22 @@ class PoseServer:
             for i, req in enumerate(chunk):
                 frames[i] = req.frame
             out = self.artifact(frames)
+        except Exception as e:  # propagate to every caller in the chunk
+            self.stats["errors"] += len(chunk)
+            for req in chunk:
+                req.error = f"{type(e).__name__}: {e}"
+                req.event.set()
+            return None
+        return (out, chunk, batch_size, t0)
+
+    def _finish_chunk(self, inflight):
+        """Fetch one dispatched chunk's results and reply to its callers.
+        device_ms spans dispatch->fetch-complete, so under pipelining it
+        includes host work overlapped with the NEXT chunk's dispatch."""
+        import time
+
+        out, chunk, batch_size, t0 = inflight
+        try:
             # One host fetch for the whole chunk (the tunnel RTT is per
             # fetch, not per image).
             pose_scores = np.asarray(out.pose_scores)
@@ -506,6 +581,11 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--min_part_score", type=float, default=0.0)
     p.add_argument("--batch_wait_ms", type=float, default=2.0,
                    help="coalescing window after the first queued request")
+    p.add_argument("--pipeline_depth", type=int, default=2, choices=(1, 2),
+                   help="2 (default): dispatch the next batch before "
+                        "fetching the in-flight one, overlapping device "
+                        "compute with host coalescing + upload; 1: fully "
+                        "synchronous batches")
     args = p.parse_args(argv)
 
     if bool(args.artifact) == bool(args.model):
@@ -528,7 +608,8 @@ def main(argv: Optional[Sequence[str]] = None):
         source = args.artifact
     pose_server = PoseServer(artifact,
                              min_part_score=args.min_part_score,
-                             batch_wait_ms=args.batch_wait_ms)
+                             batch_wait_ms=args.batch_wait_ms,
+                             pipeline_depth=args.pipeline_depth)
     # Warm every exported batch-size program before accepting traffic
     # (a first jax compile can take tens of seconds; measured: a cold b4
     # program cost the first coalesced batch 21 s).

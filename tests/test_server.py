@@ -339,6 +339,95 @@ def test_shutdown_sentinel_consumed_mid_batch(artifact):
         srv.close()
 
 
+def test_pipeline_depth_1_synchronous_matches(artifact):
+    """pipeline_depth=1 restores the fully synchronous worker: a
+    concurrent burst still coalesces and every caller gets its own
+    frame's poses."""
+    frames = _frames(8, seed=31)
+    srv = PoseServer(artifact, batch_wait_ms=20.0, pipeline_depth=1)
+    try:
+        results = [None] * 8
+
+        def call(i):
+            results[i] = srv.decode_frame(frames[i])
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i in range(8):
+            ps = np.asarray(artifact(frames[i][None]).pose_scores)[0]
+            assert results[i] is not None, f"client {i}"
+            assert len(results[i]) == int((ps > 0).sum()), f"client {i}"
+    finally:
+        srv.close()
+
+
+def test_pipelined_multi_chunk_burst(artifact):
+    """Default depth-2 pipelining across MANY successive chunks (24
+    requests over batches {1,4}): the worker dispatches chunk N+1 before
+    fetching chunk N, and every caller must still get its own frame's
+    result in order."""
+    frames = _frames(24, seed=37)
+    srv = PoseServer(artifact, batch_wait_ms=5.0, pipeline_depth=2)
+    try:
+        results = [None] * 24
+
+        def call(i):
+            results[i] = srv.decode_frame(frames[i])
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(24)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        for i in range(24):
+            ps = np.asarray(artifact(frames[i][None]).pose_scores)[0]
+            assert results[i] is not None, f"client {i}"
+            assert len(results[i]) == int((ps > 0).sum()), f"client {i}"
+        assert srv.stats["requests_done"] == 24
+        assert srv.stats["errors"] == 0
+    finally:
+        srv.close()
+
+
+def test_pipelined_dispatch_failure_recovers(artifact):
+    """A backend that raises on one chunk's DISPATCH fails that chunk's
+    callers with the error (not a hang) and the worker keeps serving the
+    next request — dispatch failures leave nothing in flight."""
+
+    class Flaky:
+        def __init__(self, inner):
+            self._inner = inner
+            self.input_hw = inner.input_hw
+            self.batch_sizes = inner.batch_sizes
+            self.fail_next = 0
+
+        def __call__(self, frames):
+            if self.fail_next > 0:
+                self.fail_next -= 1
+                raise RuntimeError("injected dispatch failure")
+            return self._inner(frames)
+
+    flaky = Flaky(artifact)
+    srv = PoseServer(flaky, batch_wait_ms=2.0, pipeline_depth=2)
+    try:
+        frame = _frames(1, seed=41)[0]
+        assert isinstance(srv.decode_frame(frame), list)  # healthy first
+        flaky.fail_next = 1
+        with pytest.raises(RuntimeError, match="injected dispatch"):
+            srv.decode_frame(frame)
+        # worker survived (Exception != worker death) and serves again
+        assert srv.healthy
+        assert isinstance(srv.decode_frame(frame), list)
+        assert srv.stats["errors"] == 1
+    finally:
+        srv.close()
+
+
 def test_artifact_rejects_non_uint8(artifact):
     """Float frames must raise, not be silently astype-wrapped into
     garbage poses."""

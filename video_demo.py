@@ -68,9 +68,14 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def _flush_batch(pipe, rgb_frames, bgr_frames, frame_ids, batch_size, scale,
-                 args, writer, poses_fh, counters):
-    """Run one fused device batch and drain results to the writers.
+def _dispatch_batch(pipe, rgb_frames, batch_size):
+    """Dispatch one fused device batch; return (result handles, n_real).
+
+    JAX dispatch is asynchronous — the device arrays come back immediately
+    and the host only blocks when `_drain_batch` fetches them. The main
+    loop exploits that for depth-1 pipelining: batch N computes on the
+    device while the host reads/resizes batch N+1 and renders N-1's
+    overlays (the upload-bound regime on tunneled hosts, CLAUDE.md).
 
     The final partial batch is padded by repeating its last frame so the
     whole video runs through a single compiled program shape; padded slots
@@ -78,7 +83,13 @@ def _flush_batch(pipe, rgb_frames, bgr_frames, frame_ids, batch_size, scale,
     """
     n_real = len(rgb_frames)
     batch = np.stack(rgb_frames + [rgb_frames[-1]] * (batch_size - n_real))
-    out = pipe(batch)
+    return pipe(batch), n_real
+
+
+def _drain_batch(out, n_real, bgr_frames, frame_ids, scale,
+                 args, writer, poses_fh, counters):
+    """Fetch one dispatched batch's results and drain them to the writers
+    (FIFO with dispatch order, so frames stay ordered)."""
     pose_scores = np.asarray(out.pose_scores)[:n_real]
     keypoint_scores = np.asarray(out.keypoint_scores)[:n_real]
     # decoded coords are y,x pixels at the PROCESSING resolution; map back
@@ -144,6 +155,7 @@ def main(argv=None):
 
     counters = {'poses': 0}
     rgb_frames, bgr_frames, frame_ids = [], [], []
+    pending = None   # one in-flight batch: (out, n_real, bgr, ids)
     scale = None
     frame_count = 0
     start = time.time()
@@ -172,14 +184,23 @@ def main(argv=None):
         frame_ids.append(frame_count)
         frame_count += 1
         if len(rgb_frames) == args.batch_size:
-            _flush_batch(pipe, rgb_frames, bgr_frames, frame_ids,
-                         args.batch_size, scale, args, writer, poses_fh,
-                         counters)
+            # dispatch N+1 BEFORE draining N: the device starts the new
+            # batch without waiting for the host-side fetch + overlay
+            # rendering of the previous one (depth-1 pipeline; deeper
+            # unsynced queues degrade on tunneled runtimes — CLAUDE.md)
+            out, n_real = _dispatch_batch(pipe, rgb_frames, args.batch_size)
+            if pending is not None:
+                _drain_batch(*pending, scale, args, writer, poses_fh,
+                             counters)
+            pending = (out, n_real, bgr_frames, frame_ids)
             rgb_frames, bgr_frames, frame_ids = [], [], []
     if rgb_frames:
-        _flush_batch(pipe, rgb_frames, bgr_frames, frame_ids,
-                     args.batch_size, scale, args, writer, poses_fh,
-                     counters)
+        out, n_real = _dispatch_batch(pipe, rgb_frames, args.batch_size)
+        if pending is not None:
+            _drain_batch(*pending, scale, args, writer, poses_fh, counters)
+        pending = (out, n_real, bgr_frames, frame_ids)
+    if pending is not None:
+        _drain_batch(*pending, scale, args, writer, poses_fh, counters)
 
     cap.release()
     if writer is not None:
