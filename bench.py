@@ -47,16 +47,25 @@ _HEALTHY_FLOOR = 2000.0
 
 
 def _probe_backend(timeout_s: float = 240.0):
-    """Fail fast if the TPU tunnel is down.
+    """Fail fast if the TPU tunnel is down OR degraded.
 
     On the axon platform a dead tunnel makes backend init hang ~20 min
-    before raising UNAVAILABLE (CLAUDE.md). Probe device discovery in a
-    throwaway subprocess under a timeout so a down tunnel costs minutes,
-    not the driver's patience. The probe exits before the main process
-    touches the backend, so the chip is never held twice."""
+    before raising UNAVAILABLE; a DEGRADED tunnel passes init (devices
+    list fine) but hangs individual dispatches (both modes observed live,
+    CLAUDE.md). So the probe must dispatch + host-fetch a tiny program,
+    not just enumerate devices. It runs in a throwaway subprocess under a
+    timeout so a sick tunnel costs minutes, not the driver's patience,
+    and exits before the main process touches the backend, so the chip is
+    never held twice. The probe matmul hits the persistent compile cache
+    after its first-ever run."""
+    probe_src = (
+        "import jax; jax.config.update('jax_compilation_cache_dir', "
+        "'/root/.jax_cache'); import jax.numpy as jnp, numpy as np; "
+        "x = jnp.ones((128, 128), jnp.bfloat16); "
+        "v = np.asarray(x @ x).ravel()[0]; assert v == 128.0, v")
     try:
         subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c", probe_src],
             timeout=timeout_s, check=True,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     except subprocess.TimeoutExpired:
