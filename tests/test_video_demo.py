@@ -22,9 +22,13 @@ def _write_video(path, n_frames=6, hw=(72, 96), fps=10):
     writer.release()
 
 
-def test_video_demo_end_to_end(tmp_path, monkeypatch, capsys):
+@pytest.mark.parametrize('pipeline_depth', ['2', '1'])
+def test_video_demo_end_to_end(tmp_path, monkeypatch, capsys,
+                               pipeline_depth):
     """6 frames through batch 4 (one full + one padded partial batch):
-    overlay video at SOURCE resolution, one JSONL record per frame."""
+    overlay video at SOURCE resolution, one JSONL record per frame —
+    at both pipeline depths (2 = dispatch-ahead default, 1 = the
+    synchronous A/B baseline)."""
     import cv2
 
     import video_demo
@@ -39,6 +43,7 @@ def test_video_demo_end_to_end(tmp_path, monkeypatch, capsys):
         '--resize', '33x33', '--batch_size', '4',
         '--min_pose_score', '0.0',
         '--output_video', out_video, '--poses_out', poses_out,
+        '--pipeline_depth', pipeline_depth,
         '--allow_random_init'])
     video_demo.main()
 

@@ -65,6 +65,12 @@ def parse_args(argv=None):
     parser.add_argument('--allow_random_init', action='store_true',
                         help='fall back to random weights if the tfjs '
                              'bucket is unreachable (offline environments)')
+    parser.add_argument('--pipeline_depth', type=int, default=2,
+                        choices=(1, 2),
+                        help='2 (default): dispatch batch N+1 before '
+                             'fetching batch N, overlapping device compute '
+                             'with host read/resize/draw; 1: synchronous '
+                             'batches (A/B baseline)')
     return parser.parse_args(argv)
 
 
@@ -193,6 +199,10 @@ def main(argv=None):
                 _drain_batch(*pending, scale, args, writer, poses_fh,
                              counters)
             pending = (out, n_real, bgr_frames, frame_ids)
+            if args.pipeline_depth == 1:
+                _drain_batch(*pending, scale, args, writer, poses_fh,
+                             counters)
+                pending = None
             rgb_frames, bgr_frames, frame_ids = [], [], []
     if rgb_frames:
         out, n_real = _dispatch_batch(pipe, rgb_frames, args.batch_size)
